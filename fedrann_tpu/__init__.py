@@ -1,0 +1,30 @@
+"""FEDRANN-TPU: a TPU-native read-overlap detection engine.
+
+Reimplements the capabilities of the FEDRANN pipeline (reference:
+/root/reference, v0.5.4 — Feature Extraction, Dimensionality Reduction,
+Approximate Nearest Neighbor search for long-read overlap candidates) as a
+single JAX/XLA/Pallas framework:
+
+- k-mer counting/sampling/membership on-device (replaces jellyfish + awk +
+  seqkit + the C++ kmer_searcher; reference fedrann/count_kmers.py,
+  kmer_searcher/kmer_searcher.cpp),
+- sparse-random-projection x ICF embedding as device matmuls (reference
+  fedrann/precompute.py, fedrann/feature_extraction.py),
+- exact tiled brute-force cosine top-k on the MXU with sharded/ring variants
+  over a jax.sharding.Mesh (replaces pynndescent; reference
+  fedrann/nearest_neighbors.py),
+- the same CLI surface and overlaps.tsv output contract (reference
+  fedrann/__main__.py).
+"""
+
+import jax as _jax
+
+# k-mer codes for k <= 31 need up to 62 bits; enable 64-bit types once,
+# package-wide. All float compute paths request explicit float32/bfloat16.
+_jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+__description__ = (
+    "TPU-native long-read overlap detection via k-mer features, "
+    "random-projection embeddings, and exact cosine k-NN."
+)

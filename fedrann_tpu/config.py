@@ -1,0 +1,84 @@
+"""Pipeline configuration.
+
+Replaces the reference's argparse-plus-mutable-module-globals scheme
+(reference fedrann/global_variables.py:1-7, fedrann/__main__.py:69-171) with a
+single immutable dataclass threaded explicitly through the pipeline.
+
+Defaults mirror the reference CLI defaults (fedrann/__main__.py:89-167):
+k=16, sample_fraction=0.005, min_multiplicity=2, embedding_dimension=500,
+n_neighbors=50, seed=356115, chunk_size=1000. The reference hard-codes the
+projection seed to 2094 independently of --seed (fedrann/precompute.py:63);
+we expose that as an explicit, documented knob `projection_seed`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    # --- Reference-compatible knobs (fedrann/__main__.py:69-171) ---
+    input_path: str = ""
+    output_dir: str = ""
+    kmer_size: int = 16                   # -k / --kmer-size
+    kmer_sample_fraction: float = 0.005   # --kmer-sample-fraction
+    kmer_min_multiplicity: int = 2        # --kmer-min-multiplicity
+    threads: int = 1                      # --threads (host-side IO workers)
+    chunk_size: int = 1000                # --chunk-size (reads per device batch)
+    embedding_dimension: int = 500        # -n / --embedding-dimension
+    n_neighbors: int = 50                 # --nndescent-n-neighbors
+    n_trees: int = 300                    # accepted for CLI parity; unused by
+    #                                       exact search (reference __main__.py:132)
+    seed: int = 356115                    # --seed
+    save_feature_matrix: bool = False     # --save-feature-matrix (reference
+    #                                       documents but never writes it:
+    #                                       README.md:66; we implement it)
+    keep_intermediates: bool = False      # --keep-intermediates
+    mprof: bool = False                   # --mprof (stage memory metrics)
+
+    # --- TPU-native knobs (no reference equivalent) ---
+    # Projection RNG seed; the reference silently fixes this to 2094
+    # (precompute.py:63) regardless of --seed.
+    projection_seed: int = 2094
+    # SRP density; "auto" = 1/sqrt(n_features) (reference precompute.py:80-81).
+    projection_density: Optional[float] = None
+    # Cap on distinct library hits per read; reference sets are unbounded
+    # (kmer_searcher.cpp:309). Hits beyond the cap are dropped and logged.
+    max_hits_per_read: int = 4096
+    # Number of window positions processed per device batch in k-mer stages.
+    window_batch: int = 1 << 22
+    # Padded read-length buckets (bases). Reads are grouped into the smallest
+    # bucket that fits; reads longer than the last bucket are truncated (logged).
+    length_buckets: Sequence[int] = (4096, 16384, 65536, 262144)
+    # Query-tile rows for the brute-force top-k.
+    knn_query_tile: int = 1024
+    # Candidate-block columns per ring step in the sharded top-k.
+    knn_candidate_tile: int = 8192
+    # Matmul precision for the distance matrix: "bf16" (MXU-fast, fp32 accum)
+    # or "fp32".
+    knn_precision: str = "bf16"
+    # "allgather" (small N) or "ring" (ppermute streaming) candidate movement.
+    knn_shard_strategy: str = "ring"
+    # Stage-boundary checkpoint directory (inside output_dir) or None.
+    checkpoint: bool = False
+    # Mesh shape for multi-chip runs; None = all local devices on one axis.
+    mesh_shape: Optional[Sequence[int]] = None
+    log_level: str = "INFO"
+
+    @property
+    def k(self) -> int:
+        return self.kmer_size
+
+    def __post_init__(self):
+        if not (1 <= self.kmer_size <= 31):
+            raise ValueError(f"kmer_size must be in [1, 31], got {self.kmer_size}")
+        if not (0.0 < self.kmer_sample_fraction <= 1.0):
+            raise ValueError("kmer_sample_fraction must be in (0, 1]")
+        if self.embedding_dimension < 1:
+            raise ValueError("embedding_dimension must be >= 1")
+        if self.knn_precision not in ("bf16", "fp32"):
+            raise ValueError("knn_precision must be 'bf16' or 'fp32'")
+        if self.knn_shard_strategy not in ("allgather", "ring"):
+            raise ValueError("knn_shard_strategy must be 'allgather' or 'ring'")

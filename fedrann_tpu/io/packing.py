@@ -1,0 +1,108 @@
+"""Host-side read packing: strings -> fixed-shape base-code arrays.
+
+TPU kernels need static shapes, so variable-length reads are grouped into
+length buckets and padded. Base encoding A=0 C=1 G=2 T=3 matches the
+reference's 2-bit code (kmer_searcher.cpp:138-151); any other character maps
+to the INVALID code 4 — windows covering an invalid base emit no k-mer, the
+same behavior as the reference's UINT64_MAX window reset
+(kmer_searcher.cpp:314-349).
+
+A C++ fast path for parse+pack lives in native/ (ctypes); this numpy
+implementation is the reference-correct fallback and the unit-test oracle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Sequence
+
+import numpy as np
+
+from fedrann_tpu.io.fastx import FastxRecord
+from fedrann_tpu.logging_utils import logger
+
+INVALID = np.uint8(4)
+
+_BASE_LUT = np.full(256, INVALID, dtype=np.uint8)
+for _ch, _code in (("A", 0), ("C", 1), ("G", 2), ("T", 3)):
+    _BASE_LUT[ord(_ch)] = _code
+    _BASE_LUT[ord(_ch.lower())] = _code
+
+
+def encode_bases(seq: str) -> np.ndarray:
+    """ASCII sequence -> uint8 codes in {0,1,2,3,4}."""
+    raw = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+    return _BASE_LUT[raw]
+
+
+@dataclasses.dataclass
+class PackedBucket:
+    """Reads padded to one bucket length."""
+
+    bases: np.ndarray       # (R_b, L_bucket) uint8, INVALID-padded
+    lengths: np.ndarray     # (R_b,) int32 true lengths (possibly truncated)
+    read_index: np.ndarray  # (R_b,) int32 index into the global read order
+
+
+@dataclasses.dataclass
+class PackedReads:
+    names: list[str]                 # global read order = input file order
+    buckets: list[PackedBucket]      # ascending bucket length
+    n_truncated: int = 0
+
+    @property
+    def n_reads(self) -> int:
+        return len(self.names)
+
+
+def pack_reads(
+    records: Iterable[FastxRecord],
+    length_buckets: Sequence[int],
+    pad_rows_to: int = 8,
+) -> PackedReads:
+    """Group reads into the smallest bucket that fits; longer reads are
+    truncated to the largest bucket (counted + logged). Row counts per bucket
+    are padded up to a multiple of `pad_rows_to` with all-INVALID rows
+    (read_index -1) so downstream device shapes stay tile-friendly."""
+    buckets = sorted(length_buckets)
+    names: list[str] = []
+    per_bucket: list[list[np.ndarray]] = [[] for _ in buckets]
+    per_bucket_idx: list[list[int]] = [[] for _ in buckets]
+    per_bucket_len: list[list[int]] = [[] for _ in buckets]
+    n_truncated = 0
+
+    for i, rec in enumerate(records):
+        names.append(rec.name)
+        codes = encode_bases(rec.sequence)
+        b = np.searchsorted(buckets, len(codes))
+        if b == len(buckets):
+            b = len(buckets) - 1
+            codes = codes[: buckets[b]]
+            n_truncated += 1
+        per_bucket[b].append(codes)
+        per_bucket_idx[b].append(i)
+        per_bucket_len[b].append(len(codes))
+
+    if n_truncated:
+        logger.warning(
+            "%d reads longer than the largest length bucket (%d) were truncated",
+            n_truncated,
+            buckets[-1],
+        )
+
+    out: list[PackedBucket] = []
+    for b, rows in enumerate(per_bucket):
+        if not rows:
+            continue
+        n_rows = len(rows)
+        padded_rows = -(-n_rows // pad_rows_to) * pad_rows_to
+        mat = np.full((padded_rows, buckets[b]), INVALID, dtype=np.uint8)
+        for r, codes in enumerate(rows):
+            mat[r, : len(codes)] = codes
+        lengths = np.zeros(padded_rows, dtype=np.int32)
+        lengths[:n_rows] = per_bucket_len[b]
+        read_index = np.full(padded_rows, -1, dtype=np.int32)
+        read_index[:n_rows] = per_bucket_idx[b]
+        out.append(PackedBucket(bases=mat, lengths=lengths, read_index=read_index))
+
+    return PackedReads(names=names, buckets=out, n_truncated=n_truncated)
