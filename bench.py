@@ -1,0 +1,92 @@
+"""Benchmark harness: end-to-end overlap-detection throughput on the chip.
+
+Prints ONE JSON line:
+  {"metric": "reads_per_s", "value": N, "unit": "reads/s", "vs_baseline": R}
+
+vs_baseline = device reads/s over the numpy-oracle reads/s on the identical
+dataset/config. The oracle implements the reference pipeline's exact
+semantics single-threaded on CPU (the reference itself cannot run here:
+jellyfish/pynndescent are absent — BASELINE.md says the harness must
+produce the CPU baseline itself). The published north-star target is >10x
+over the 32-thread reference, so vs_baseline should exceed ~320x against
+this single-threaded proxy on comparable workloads.
+
+Scale knobs via env: BENCH_GENOME (bp), BENCH_COVERAGE, BENCH_READ_LEN.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def main() -> int:
+    genome = int(os.environ.get("BENCH_GENOME", 2_000_000))
+    coverage = float(os.environ.get("BENCH_COVERAGE", 12))
+    read_len = int(os.environ.get("BENCH_READ_LEN", 8000))
+    baseline_reads = int(os.environ.get("BENCH_BASELINE_READS", 300))
+
+    from fedrann_tpu.cli import config_from_args
+    from fedrann_tpu.pipeline import run_pipeline
+    from fedrann_tpu.sim import simulate_reads, write_fasta
+    from fedrann_tpu import oracle
+
+    sim = simulate_reads(
+        genome_length=genome, coverage=coverage, mean_read_length=read_len,
+        error_rate=0.05, seed=1234,
+    )
+    n_reads = len(sim.names)
+    print(f"[bench] {n_reads} reads, genome {genome} bp", file=sys.stderr)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        fasta = os.path.join(tmp, "reads.fasta")
+        write_fasta(fasta, sim.names, sim.sequences)
+        args = [
+            "-i", fasta, "-o", os.path.join(tmp, "out"),
+            "-k", "15", "--kmer-sample-fraction", "0.05",
+            "--kmer-min-multiplicity", "2", "-n", "512",
+            "--nndescent-n-neighbors", "50", "--seed", "602",
+            "--length-buckets", "16384",
+        ]
+        config = config_from_args(args)
+
+        # warm-up run compiles every kernel; second run is the measurement
+        run_pipeline(config)
+        t0 = time.perf_counter()
+        result = run_pipeline(config)
+        device_s = time.perf_counter() - t0
+        device_rps = n_reads / device_s
+        print(f"[bench] device: {device_s:.2f}s = {device_rps:.1f} reads/s "
+              f"(stages: { {k: round(v['seconds'], 2) for k, v in result.metrics.items()} })",
+              file=sys.stderr)
+
+    # CPU-oracle baseline on a subset, extrapolated linearly in read count
+    # (library build + embedding are linear; exact knn is quadratic, so this
+    # favors the baseline — the ratio reported is conservative the other way
+    # for large N).
+    sub = sim.sequences[:baseline_reads]
+    t0 = time.perf_counter()
+    oracle.run_oracle_pipeline(
+        sub, k=15, sample_fraction=0.05, min_multiplicity=2,
+        n_components=512, n_neighbors=50, library_seed=602,
+        projection_seed=2094,
+    )
+    oracle_s = time.perf_counter() - t0
+    oracle_rps = len(sub) / oracle_s
+    print(f"[bench] oracle CPU: {oracle_s:.2f}s for {len(sub)} reads = "
+          f"{oracle_rps:.1f} reads/s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "reads_per_s",
+        "value": round(device_rps, 2),
+        "unit": "reads/s",
+        "vs_baseline": round(device_rps / oracle_rps, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

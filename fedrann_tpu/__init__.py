@@ -17,11 +17,25 @@ single JAX/XLA/Pallas framework:
   fedrann/__main__.py).
 """
 
+import os as _os
+
 import jax as _jax
 
 # k-mer codes for k <= 31 need up to 62 bits; enable 64-bit types once,
 # package-wide. All float compute paths request explicit float32/bfloat16.
 _jax.config.update("jax_enable_x64", True)
+
+# Compilation dominates wall-clock on remote-compile TPU platforms; cache
+# compiled executables across processes. Override/disable with
+# FEDRANN_TPU_COMPILE_CACHE (empty string disables).
+_cache_dir = _os.environ.get(
+    "FEDRANN_TPU_COMPILE_CACHE",
+    _os.path.expanduser("~/.cache/fedrann_tpu/jax_compile"),
+)
+if _cache_dir:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 __version__ = "0.1.0"
 __description__ = (

@@ -1,0 +1,116 @@
+"""Command-line interface.
+
+Flag-for-flag parity with the reference CLI (reference __main__.py:69-171):
+-i/--input, -o/--output-dir, -k/--kmer-size, --kmer-sample-fraction,
+--kmer-min-multiplicity, --threads, --chunk-size, -n/--embedding-dimension,
+--nndescent-n-trees, --nndescent-n-neighbors, --seed, --save-feature-matrix,
+--keep-intermediates, --mprof — plus TPU-native knobs. --nndescent-n-trees
+is accepted and ignored (exact search has no trees); --projection-seed
+surfaces the reference's hidden hard-coded SRP seed 2094
+(precompute.py:63) as a real flag.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from fedrann_tpu import __description__, __version__
+from fedrann_tpu.config import PipelineConfig
+from fedrann_tpu.logging_utils import logger
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="fedrann-tpu",
+        description=__description__,
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("--version", action="version", version=__version__)
+    p.add_argument("-i", "--input", required=True,
+                   help="Path to the input FASTQ/FASTA file (optionally .gz).")
+    p.add_argument("-o", "--output-dir", required=True,
+                   help="Directory to save output files.")
+    p.add_argument("-k", "--kmer-size", type=int, default=16,
+                   help="K-mer size for feature extraction.")
+    p.add_argument("--kmer-sample-fraction", type=float, default=0.005,
+                   help="Fraction of k-mers used to build the feature matrix.")
+    p.add_argument("--kmer-min-multiplicity", type=int, default=2,
+                   help="Minimum allowed frequency of a k-mer in all reads.")
+    p.add_argument("--threads", type=int, default=1,
+                   help="Host-side worker threads (I/O).")
+    p.add_argument("--chunk-size", type=int, default=1000,
+                   help="Reads per host-side processing chunk.")
+    p.add_argument("-n", "--embedding-dimension", type=int, default=500)
+    p.add_argument("--nndescent-n-trees", type=int, default=300,
+                   help="Accepted for reference-CLI parity; unused (search is exact).")
+    p.add_argument("--nndescent-n-neighbors", type=int, default=50,
+                   help="Number of neighbors per query row.")
+    p.add_argument("--seed", type=int, default=356115,
+                   help="Random seed (library sampling).")
+    p.add_argument("--save-feature-matrix", action="store_true",
+                   help="Save embeddings to feature_matrix.npz.")
+    p.add_argument("--keep-intermediates", action="store_true",
+                   help="Keep stage checkpoints (library, embeddings).")
+    p.add_argument("--mprof", action="store_true",
+                   help="Record memory usage to mprof.dat (mprof format).")
+    # --- TPU-native extensions ---
+    p.add_argument("--projection-seed", type=int, default=2094,
+                   help="SRP seed (the reference hard-codes 2094 regardless "
+                        "of --seed; exposed here).")
+    p.add_argument("--projection-density", type=float, default=None,
+                   help="SRP density; default 1/sqrt(n_features).")
+    p.add_argument("--max-hits-per-read", type=int, default=4096,
+                   help="Cap on distinct library hits per read.")
+    p.add_argument("--knn-precision", choices=("bf16", "fp32"), default="bf16",
+                   help="Distance-matmul precision (fp32 accumulation either way).")
+    p.add_argument("--knn-query-tile", type=int, default=1024)
+    p.add_argument("--knn-shard-strategy", choices=("allgather", "ring"),
+                   default="ring", help="Candidate movement across chips.")
+    p.add_argument("--length-buckets", type=str, default="4096,16384,65536,262144",
+                   help="Comma-separated padded read-length buckets.")
+    p.add_argument("--log-level", default="INFO")
+    return p
+
+
+def config_from_args(argv: list[str] | None = None) -> PipelineConfig:
+    args = build_parser().parse_args(argv)
+    return PipelineConfig(
+        input_path=args.input,
+        output_dir=args.output_dir,
+        kmer_size=args.kmer_size,
+        kmer_sample_fraction=args.kmer_sample_fraction,
+        kmer_min_multiplicity=args.kmer_min_multiplicity,
+        threads=args.threads,
+        chunk_size=args.chunk_size,
+        embedding_dimension=args.embedding_dimension,
+        n_neighbors=args.nndescent_n_neighbors,
+        n_trees=args.nndescent_n_trees,
+        seed=args.seed,
+        save_feature_matrix=args.save_feature_matrix,
+        keep_intermediates=args.keep_intermediates,
+        checkpoint=args.keep_intermediates,
+        mprof=args.mprof,
+        projection_seed=args.projection_seed,
+        projection_density=args.projection_density,
+        max_hits_per_read=args.max_hits_per_read,
+        knn_precision=args.knn_precision,
+        knn_query_tile=args.knn_query_tile,
+        knn_shard_strategy=args.knn_shard_strategy,
+        length_buckets=tuple(int(x) for x in args.length_buckets.split(",")),
+        log_level=args.log_level,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    config = config_from_args(argv)
+    from fedrann_tpu.pipeline import run_pipeline  # defer jax-heavy import
+
+    result = run_pipeline(config)
+    logger.info("done: %d reads, %d library k-mers, output %s",
+                len(result.names), result.library.size, result.overlaps_path)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

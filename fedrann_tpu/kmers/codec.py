@@ -1,0 +1,171 @@
+"""Device k-mer codec: 2-bit window codes, reverse complement, canonical form.
+
+TPU-native replacement for the reference's sliding-window scanner
+(kmer_searcher.cpp:308-349, kmer_to_int :138-151) and for jellyfish's
+canonical (-C) coding plus the explicit reverse-complement library
+(count_kmers.py:80-139): canonicalization is a bit trick, so no second
+library or second scan ever exists.
+
+Representation: the TPU is a 32-bit machine — 64-bit integer emulation
+multiplies Mosaic compile time by ~100x on this platform (measured: a
+(256, 16k) u64 rolling-window kernel compiles in 235-359 s, the identical
+u32 kernel in 2.5 s). K-mer codes are therefore **uint32 word tuples**:
+one word (lo,) for k <= 16, two words (hi, lo) for 17 <= k <= 31, compared
+lexicographically. uint64 appears only host-side (numpy) where it is free.
+
+All functions are jittable with static k (compile-time-unrolled rolling
+accumulation; no data-dependent control flow).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_GOLDEN = jnp.uint64(0x9E3779B97F4A7C15)
+
+# Invalid-window / padding sentinel: all-ones words. Unreachable by any
+# canonical code: canon = min(code, revcomp), and an all-T window (code all
+# ones in its 2k bits) has an all-A revcomp (canon 0); bits above 2k are
+# always zero for real codes.
+WORD_SENTINEL = np.uint32(0xFFFFFFFF)
+
+
+def n_words(k: int) -> int:
+    return 1 if k <= 16 else 2
+
+
+def splitmix64(x: jax.Array) -> jax.Array:
+    """uint64 mixer; bitwise-identical to oracle.splitmix64 (numpy). Used
+    only in small/off-hot-path device code (SRP generation)."""
+    x = x.astype(jnp.uint64)
+    z = x + _GOLDEN
+    z = (z ^ (z >> jnp.uint64(30))) * jnp.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> jnp.uint64(27))) * jnp.uint64(0x94D049BB133111EB)
+    return z ^ (z >> jnp.uint64(31))
+
+
+# --- host-side word packing -------------------------------------------------
+
+def words_to_u64(words: tuple[np.ndarray, ...]) -> np.ndarray:
+    """(hi, lo) or (lo,) uint32 host arrays -> uint64 codes."""
+    if len(words) == 1:
+        return words[0].astype(np.uint64)
+    hi, lo = words
+    return (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+
+
+def u64_to_words(codes: np.ndarray, k: int) -> tuple[np.ndarray, ...]:
+    """uint64 host codes -> uint32 word tuple matching n_words(k)."""
+    codes = np.asarray(codes, dtype=np.uint64)
+    lo = (codes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    if k <= 16:
+        return (lo,)
+    hi = (codes >> np.uint64(32)).astype(np.uint32)
+    return (hi, lo)
+
+
+# --- word-tuple comparisons (device) ---------------------------------------
+
+def words_less(a: tuple, b: tuple):
+    """Lexicographic a < b for equal-length uint32 word tuples."""
+    if len(a) == 1:
+        return a[0] < b[0]
+    return (a[0] < b[0]) | ((a[0] == b[0]) & (a[1] < b[1]))
+
+
+def words_leq(a: tuple, b: tuple):
+    if len(a) == 1:
+        return a[0] <= b[0]
+    return (a[0] < b[0]) | ((a[0] == b[0]) & (a[1] <= b[1]))
+
+
+def words_eq(a: tuple, b: tuple):
+    eq = a[0] == b[0]
+    for x, y in zip(a[1:], b[1:]):
+        eq = eq & (x == y)
+    return eq
+
+
+def words_select(pred, a: tuple, b: tuple) -> tuple:
+    return tuple(jnp.where(pred, x, y) for x, y in zip(a, b))
+
+
+def words_min(a: tuple, b: tuple) -> tuple:
+    return words_select(words_less(a, b), a, b)
+
+
+# --- window codes -----------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def window_codes(bases: jax.Array, k: int):
+    """All k-windows of a (R, L) uint8 base-code batch.
+
+    Returns (code, rc, valid):
+      code  tuple of (R, L-k+1) uint32 words, forward 2-bit codes
+      rc    tuple of (R, L-k+1) uint32 words, reverse-complement codes
+      valid (R, L-k+1) bool — window contains only A/C/G/T bases
+
+    Invalid windows are NOT sentinel-marked here (see canonical_window_codes);
+    consume `valid`.
+    """
+    r, length = bases.shape
+    if length < k:
+        raise ValueError(f"bucket length {length} < k={k}")
+    w = length - k + 1
+    two_words = k > 16
+
+    lo = jnp.zeros((r, w), dtype=jnp.uint32)
+    hi = jnp.zeros((r, w), dtype=jnp.uint32) if two_words else None
+    rc_lo = jnp.zeros((r, w), dtype=jnp.uint32)
+    rc_hi = jnp.zeros((r, w), dtype=jnp.uint32) if two_words else None
+    valid = jnp.ones((r, w), dtype=bool)
+
+    for j in range(k):  # static unroll (u32 ops compile fast; fori is slower)
+        b = bases[:, j : j + w]
+        ok = b < 4
+        v = jnp.where(ok, b, 0).astype(jnp.uint32)
+        valid = valid & ok
+        # code = (code << 2) | v   across the word boundary
+        if two_words:
+            hi = (hi << jnp.uint32(2)) | (lo >> jnp.uint32(30))
+        lo = (lo << jnp.uint32(2)) | v
+        # rc |= complement(v) << 2j  (complement = v ^ 0b11)
+        # shift is even and c is 2 bits wide, so a word straddle never occurs
+        c = v ^ jnp.uint32(3)
+        shift = 2 * j
+        if shift < 32:
+            rc_lo = rc_lo | (c << jnp.uint32(shift))
+        else:
+            rc_hi = rc_hi | (c << jnp.uint32(shift - 32))
+    if two_words:
+        # mask hi to the used bit width (2k - 32 bits)
+        hi = hi & jnp.uint32((1 << (2 * k - 32)) - 1)
+        code = (hi, lo)
+        rc = (rc_hi, rc_lo)
+    else:
+        if 2 * k < 32:
+            lo = lo & jnp.uint32((1 << (2 * k)) - 1)
+        code = (lo,)
+        rc = (rc_lo,)
+    return code, rc, valid
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def canonical_window_codes(bases: jax.Array, k: int):
+    """Canonical (min(code, revcomp)) codes of all valid windows.
+
+    Returns (canon, is_fwd, valid): canon is a uint32 word tuple with
+    all-ones WORD_SENTINEL where invalid; is_fwd = read-strand code equals
+    the canonical form (palindromes count as forward — SURVEY.md §2.5
+    item 3 resolution).
+    """
+    code, rc, valid = window_codes(bases, k)
+    is_fwd = words_leq(code, rc)
+    canon = words_min(code, rc)
+    sent = tuple(jnp.uint32(0xFFFFFFFF) for _ in canon)
+    canon = tuple(jnp.where(valid, wrd, s) for wrd, s in zip(canon, sent))
+    return canon, is_fwd, valid

@@ -1,0 +1,133 @@
+"""Sharded exact k-NN over a device mesh: all-gather and ring variants.
+
+The scaling story of SURVEY.md §2.8/§5: embeddings are row-sharded over the
+"data" mesh axis; every device owns a query block and a candidate block.
+
+- **allgather**: candidates are jax.lax.all_gather'ed once, each device runs
+  the local tiled top-k against the full candidate set. Simple; memory
+  O(N x d) per device — right for small/medium N.
+- **ring**: the ring-attention-shaped variant — candidate blocks rotate
+  around the ICI ring via jax.lax.ppermute while each device folds the new
+  block's scores into a running top-k. Peak memory O(N/n_dev x d); the
+  N^2 distance work streams through HBM-sized tiles, and XLA overlaps the
+  ppermute with the next block's matmul.
+
+Both return globally-indexed neighbors identical (up to fp reduction order)
+to the single-device knn_exact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from fedrann_tpu.knn.topk import normalize_rows
+from fedrann_tpu.parallel.mesh import DATA_AXIS, make_mesh, pad_rows_to_multiple
+
+
+def _merge_topk(run_dist, run_idx, new_dist, new_idx, k):
+    """Fold (B, m) new candidates into a (B, k) running top-k (min dist)."""
+    dist = jnp.concatenate([run_dist, new_dist], axis=1)
+    idx = jnp.concatenate([run_idx, new_idx], axis=1)
+    # top_k keeps largest -> negate distances
+    neg, pos = jax.lax.top_k(-dist, k)
+    return -neg, jnp.take_along_axis(idx, pos, axis=1)
+
+
+def _block_scores(queries, block, precision):
+    q = queries.astype(jnp.bfloat16) if precision == "bf16" else queries
+    c = block.astype(jnp.bfloat16) if precision == "bf16" else block
+    return jax.lax.dot_general(
+        q, c, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _ring_body(en_local, n_dev, k, n_real, precision):
+    """Runs inside shard_map. en_local: (B, d) normalized local rows."""
+    b = en_local.shape[0]
+    my = jax.lax.axis_index(DATA_AXIS)
+    col_base = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+
+    init_dist = jnp.full((b, k), jnp.inf, dtype=jnp.float32)
+    init_idx = jnp.full((b, k), -1, dtype=jnp.int32)
+
+    def step(s, carry):
+        run_dist, run_idx, block = carry
+        owner = (my - s) % n_dev  # whose block we hold at step s
+        scores = _block_scores(en_local, block, precision)
+        new_idx = col_base + owner.astype(jnp.int32) * b
+        new_idx = jnp.broadcast_to(new_idx, (en_local.shape[0], b))
+        # zero-padded global rows >= n_real must never win a slot
+        new_dist = jnp.where(new_idx >= n_real, jnp.inf, 1.0 - scores)
+        run_dist, run_idx = _merge_topk(run_dist, run_idx, new_dist, new_idx, k)
+        block = jax.lax.ppermute(
+            block, DATA_AXIS,
+            perm=[(i, (i + 1) % n_dev) for i in range(n_dev)],
+        )
+        return run_dist, run_idx, block
+
+    run_dist, run_idx, _ = jax.lax.fori_loop(
+        0, n_dev, step, (init_dist, init_idx, en_local)
+    )
+    return run_dist, run_idx
+
+
+def _allgather_body(en_local, n_dev, k, n_real, precision):
+    """all_gather candidates, one tiled scan over the full set."""
+    full = jax.lax.all_gather(en_local, DATA_AXIS, tiled=True)  # (N, d)
+    scores = _block_scores(en_local, full, precision)
+    cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(cols >= n_real, -jnp.inf, scores)
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    return 1.0 - top_scores, top_idx.astype(jnp.int32)
+
+
+def knn_exact_sharded(
+    embeddings: np.ndarray,
+    n_neighbors: int,
+    mesh=None,
+    strategy: str = "ring",
+    precision: str = "bf16",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact cosine top-k with rows sharded over the mesh's data axis.
+
+    Returns (indices (N, k) int32, distances (N, k) float32) in global row
+    numbering, like knn_exact. Rows are zero-padded to a multiple of the
+    mesh size; padded rows are sliced off (their garbage neighbors never
+    leave this function, and zero-padding cannot enter real rows' top-k
+    because zero rows have distance 1.0 to everything — only ahead of
+    anti-correlated true neighbors, which is the same semantics as the
+    reference's zero-hit rows).
+    """
+    mesh = mesh if mesh is not None else make_mesh()
+    n_dev = mesh.devices.size
+    n = embeddings.shape[0]
+    k = min(n_neighbors, n)
+    padded, _ = pad_rows_to_multiple(np.asarray(embeddings), n_dev)
+
+    body = _ring_body if strategy == "ring" else _allgather_body
+    kernel = shard_map(
+        functools.partial(body, n_dev=n_dev, k=k, n_real=n, precision=precision),
+        mesh=mesh,
+        in_specs=P(DATA_AXIS, None),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def run(e):
+        en = normalize_rows(e)
+        dist, idx = kernel(en)
+        return dist, idx
+
+    sharded = jax.device_put(
+        jnp.asarray(padded), NamedSharding(mesh, P(DATA_AXIS, None))
+    )
+    dist, idx = run(sharded)
+    return np.asarray(idx)[:n], np.asarray(dist)[:n]

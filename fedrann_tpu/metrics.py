@@ -1,0 +1,71 @@
+"""Stage metrics: wall-clock, peak RSS, and optional memory timeline.
+
+Replaces the reference's /usr/bin/time -v wrapper (entrypoint.sh:4) and
+--mprof memory_profiler sampling (reference __main__.py:432-454) with
+in-process instrumentation; the --mprof output keeps the mprof `.dat`
+format (`MT 1.0` header + `MEM <MiB> <unix-ts>` lines) so existing tooling
+can plot it.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import resource
+import threading
+import time
+
+from fedrann_tpu.logging_utils import logger
+
+
+def peak_rss_mib() -> float:
+    # ru_maxrss is KiB on Linux
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+class StageMetrics:
+    def __init__(self) -> None:
+        self.stages: dict[str, dict[str, float]] = {}
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        logger.info("stage %s: start", name)
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.stages[name] = {"seconds": dt, "peak_rss_mib": peak_rss_mib()}
+            logger.info("stage %s: done in %.2fs (peak RSS %.0f MiB)",
+                        name, dt, peak_rss_mib())
+
+    def summary(self) -> dict[str, dict[str, float]]:
+        return dict(self.stages)
+
+
+class MemorySampler:
+    """Background RSS sampler writing an mprof-format .dat file."""
+
+    def __init__(self, path: str, interval: float = 1.0) -> None:
+        self.path = path
+        self.interval = interval
+        self._samples: list[tuple[float, float]] = []
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            self._samples.append((peak_rss_mib(), time.time()))
+            self._stop.wait(self.interval)
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join()
+        with open(self.path, "w") as f:
+            f.write("MT 1.0\n")
+            for mib, ts in self._samples:
+                f.write(f"MEM {mib:.6f} {ts:.4f}\n")
+        return False

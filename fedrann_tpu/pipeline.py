@@ -1,0 +1,231 @@
+"""Pipeline orchestrator: FASTX in, overlaps.tsv out.
+
+The TPU-native counterpart of the reference driver run_fedrann_pipeline
+(reference __main__.py:302-391). Where the reference hands stages to
+subprocesses via temp files (jellyfish, awk, seqkit, kmer_searcher, a
+multiprocessing pool, pynndescent), every numeric stage here is a jitted
+device computation over in-memory arrays; the host only streams FASTX and
+writes TSV.
+
+Stages (same 4-step shape as the reference):
+  1. count   — canonical k-mer counting + multiplicity filter + sampling
+  2. project — ICF x SRP precompute matrix on device
+  3. embed   — per-read membership -> padded hit rows -> embeddings
+  4. knn     — exact tiled cosine top-k
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Iterator, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from fedrann_tpu.config import PipelineConfig
+from fedrann_tpu.io.fastx import read_fastx
+from fedrann_tpu.io.packing import PackedBucket, PackedReads, pack_reads
+from fedrann_tpu.io.tsv import write_overlaps_tsv
+from fedrann_tpu.kmers.count import count_canonical_kmers
+from fedrann_tpu.kmers.membership import (
+    library_device_words,
+    mirror_hits,
+    read_hits,
+)
+from fedrann_tpu.kmers.sample import build_library_device
+from fedrann_tpu.knn.topk import knn_exact
+from fedrann_tpu.logging_utils import add_log_file, logger, set_logging_level
+from fedrann_tpu.metrics import MemorySampler, StageMetrics
+from fedrann_tpu.oracle import KmerLibrary
+from fedrann_tpu.project.embed import embed_hits
+from fedrann_tpu.project.srp import build_precompute
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    names: list[str]
+    library: KmerLibrary
+    embeddings: np.ndarray          # (2R, d) float32, fwd/rev interleaved
+    neighbor_indices: np.ndarray    # (2R, k) int32
+    neighbor_distances: np.ndarray  # (2R, k) float32
+    metrics: dict
+    overlaps_path: Optional[str] = None
+
+
+def _pad_chunk(chunk: np.ndarray, rows: int, fill) -> np.ndarray:
+    """Pad a final partial chunk up to the full chunk shape so every chunk of
+    a bucket shares ONE compiled executable (compile time dominates on
+    remote-compile platforms)."""
+    if len(chunk) == rows:
+        return chunk
+    pad_shape = (rows - len(chunk), *chunk.shape[1:])
+    return np.concatenate([chunk, np.full(pad_shape, fill, dtype=chunk.dtype)])
+
+
+def _row_chunks(bucket: PackedBucket, window_batch: int) -> Iterator[np.ndarray]:
+    """Split a bucket into fixed-shape row chunks with ~window_batch total
+    bases each (all-INVALID padding rows contribute no k-mers)."""
+    from fedrann_tpu.io.packing import INVALID
+
+    rows = max(8, (window_batch // bucket.bases.shape[1]) // 8 * 8)
+    for start in range(0, bucket.bases.shape[0], rows):
+        yield _pad_chunk(bucket.bases[start : start + rows], rows, INVALID)
+
+
+def compute_embeddings(
+    packed: PackedReads,
+    library: KmerLibrary,
+    config: PipelineConfig,
+    p_ext: jnp.ndarray,
+) -> tuple[np.ndarray, int]:
+    """Stage 3: (2R, d) embeddings in global (read0_fwd, read0_rev, ...) row
+    order (reference __main__.py:277-282). Returns (matrix, dropped_hits)."""
+    n_reads = packed.n_reads
+    d = p_ext.shape[1]
+    emb = np.zeros((2 * n_reads, d), dtype=np.float32)
+    lib_words = library_device_words(library.codes, config.kmer_size)
+    total_dropped = 0
+    from fedrann_tpu.io.packing import INVALID
+
+    for bucket in packed.buckets:
+        rows = max(8, (config.window_batch // bucket.bases.shape[1]) // 8 * 8)
+        for start in range(0, bucket.bases.shape[0], rows):
+            chunk = _pad_chunk(bucket.bases[start : start + rows], rows, INVALID)
+            idx = _pad_chunk(
+                bucket.read_index[start : start + rows].reshape(-1, 1), rows, -1
+            ).ravel()
+            hits, _, dropped = read_hits(
+                jnp.asarray(chunk), lib_words, config.kmer_size,
+                config.max_hits_per_read,
+            )
+            e_fwd = np.asarray(embed_hits(hits, p_ext))
+            e_rev = np.asarray(embed_hits(mirror_hits(hits, library.size), p_ext))
+            total_dropped += int(np.asarray(dropped).sum())
+            real = idx >= 0
+            emb[2 * idx[real]] = e_fwd[real]
+            emb[2 * idx[real] + 1] = e_rev[real]
+    if total_dropped:
+        logger.warning(
+            "max_hits_per_read=%d dropped %d distinct hits; raise the cap "
+            "for full parity", config.max_hits_per_read, total_dropped,
+        )
+    return emb, total_dropped
+
+
+def run_pipeline(config: PipelineConfig) -> PipelineResult:
+    set_logging_level(config.log_level)
+    out_dir = config.output_dir
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        add_log_file(os.path.join(out_dir, "fedrann.log"))
+    metrics = StageMetrics()
+    sampler = (
+        MemorySampler(os.path.join(out_dir or ".", "mprof.dat"))
+        if config.mprof
+        else None
+    )
+    ckpt_dir = os.path.join(out_dir, "checkpoints") if (config.checkpoint and out_dir) else None
+    if ckpt_dir:
+        os.makedirs(ckpt_dir, exist_ok=True)
+
+    if sampler:
+        sampler.__enter__()
+    try:
+        with metrics.stage("load"):
+            packed = pack_reads(read_fastx(config.input_path), config.length_buckets)
+            logger.info("loaded %d reads into %d buckets",
+                        packed.n_reads, len(packed.buckets))
+
+        with metrics.stage("count"):
+            library = _load_or_build_library(packed, config, ckpt_dir)
+            logger.info("library: %d canonical k-mers (%d features)",
+                        library.size, library.n_features)
+
+        with metrics.stage("project"):
+            p_ext = build_precompute(
+                jnp.asarray(library.counts),
+                config.embedding_dimension,
+                config.projection_seed,
+                config.projection_density,
+            )
+
+        with metrics.stage("embed"):
+            emb, _ = compute_embeddings(packed, library, config, p_ext)
+            if ckpt_dir:
+                np.save(os.path.join(ckpt_dir, "embeddings.npy"), emb)
+
+        with metrics.stage("knn"):
+            idx, dist = knn_exact(
+                emb, config.n_neighbors,
+                query_tile=config.knn_query_tile,
+                precision=config.knn_precision,
+            )
+
+        with metrics.stage("output"):
+            overlaps_path = None
+            if out_dir:
+                overlaps_path = os.path.join(out_dir, "overlaps.tsv")
+                with open(overlaps_path, "w") as f:
+                    n_rows = write_overlaps_tsv(f, packed.names, idx, dist)
+                logger.info("wrote %d overlap rows to %s", n_rows, overlaps_path)
+                if config.save_feature_matrix:
+                    # the reference documents feature_matrix.npz but never
+                    # writes it (README.md:66, SURVEY.md §2.4); we do.
+                    np.savez_compressed(
+                        os.path.join(out_dir, "feature_matrix.npz"),
+                        embeddings=emb,
+                        names=np.array(packed.names),
+                    )
+    finally:
+        if sampler:
+            sampler.__exit__(None, None, None)
+
+    if out_dir:
+        with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+            json.dump(metrics.summary(), f, indent=2)
+
+    return PipelineResult(
+        names=packed.names,
+        library=library,
+        embeddings=emb,
+        neighbor_indices=idx,
+        neighbor_distances=dist,
+        metrics=metrics.summary(),
+        overlaps_path=overlaps_path if out_dir else None,
+    )
+
+
+def _load_or_build_library(
+    packed: PackedReads, config: PipelineConfig, ckpt_dir: Optional[str]
+) -> KmerLibrary:
+    """Stage-boundary checkpoint: resume the library if a prior run saved it
+    (SURVEY.md §5 checkpoint/resume — absent in the reference)."""
+    if ckpt_dir:
+        path = os.path.join(ckpt_dir, "library.npz")
+        if os.path.exists(path):
+            data = np.load(path)
+            if (int(data["k"]) == config.kmer_size
+                    and int(data["seed"]) == config.seed
+                    and float(data["fraction"]) == config.kmer_sample_fraction):
+                logger.info("resuming library from %s", path)
+                return KmerLibrary(codes=data["codes"], counts=data["counts"])
+
+    def batches():
+        for bucket in packed.buckets:
+            yield from _row_chunks(bucket, config.window_batch)
+
+    codes, counts = count_canonical_kmers(batches(), config.kmer_size)
+    library = build_library_device(
+        codes, counts, config.kmer_min_multiplicity,
+        config.kmer_sample_fraction, config.seed,
+    )
+    if ckpt_dir:
+        np.savez(
+            os.path.join(ckpt_dir, "library.npz"),
+            codes=library.codes, counts=library.counts,
+            k=config.kmer_size, seed=config.seed,
+            fraction=config.kmer_sample_fraction,
+        )
+    return library

@@ -1,0 +1,42 @@
+"""Embedding: padded hit rows -> dense float32 read embeddings.
+
+Replaces the reference's chunked scipy spMM over a shared-memory process
+pool (feature_extraction.py:167-292). Binary presence rows times P collapse
+to an embedding-table lookup: E[r] = sum_{f in hits(r)} P[f, :]. The
+sentinel feature (2L) indexes P's trailing zero row, so padding contributes
+nothing and zero-hit reads yield exact zero vectors (fixing the reference's
+skipped-row hazard, feature_extraction.py:188-189).
+
+The gather-accumulate runs as a lax.scan over fixed-width hit slices so peak
+memory is R x hit_chunk x d instead of R x max_hits x d.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("hit_chunk",))
+def embed_hits(hits: jax.Array, p_ext: jax.Array, hit_chunk: int = 128) -> jax.Array:
+    """hits (R, H) int32 feature indices (sentinel-padded), p_ext (2L+1, d)
+    -> (R, d) float32."""
+    r, h = hits.shape
+    d = p_ext.shape[1]
+    pad = (-h) % hit_chunk
+    if pad:
+        sentinel = p_ext.shape[0] - 1
+        hits = jnp.concatenate(
+            [hits, jnp.full((r, pad), sentinel, dtype=hits.dtype)], axis=1
+        )
+    n_chunks = hits.shape[1] // hit_chunk
+    blocks = hits.reshape(r, n_chunks, hit_chunk).transpose(1, 0, 2)
+
+    def body(acc, block):
+        return acc + jnp.take(p_ext, block, axis=0).sum(axis=1), None
+
+    init = jnp.zeros((r, d), dtype=jnp.float32)
+    acc, _ = jax.lax.scan(body, init, blocks)
+    return acc

@@ -1,0 +1,77 @@
+"""Device-side ICF weights and sparse-random-projection precompute matrix.
+
+Replaces the reference's scipy-sparse construction (precompute.py:58-115):
+P[f, c] = ICF[f] * SRP[f, c] with entry nonzero w.p. density
+(auto = 1/sqrt(n_features)), value +-sqrt(1/density)/sqrt(n_components)
+(reference :80-107), ICF = log(n_features / (count + 1e-12)) shared by the
+fwd/rev index halves (reference :71-77).
+
+The SRP stream is counter-based (splitmix64 of (feature, component)), so it
+is bitwise identical to oracle.srp_matrix, regenerable column-by-column
+inside kernels, and trivially "replicated" across hosts: every chip derives
+the same matrix from the seed with zero communication (SURVEY.md §7.3).
+Dense is the TPU-native representation — at the reference's default
+density 1/sqrt(F) the matrix is sparse, but the MXU wants dense tiles and
+F x d fp32 fits HBM for libraries up to ~10^7 features; beyond that the
+row-sharded variant (parallel/) splits F across chips.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from fedrann_tpu.kmers.codec import splitmix64, _GOLDEN
+
+
+def icf_weights_device(counts: jax.Array) -> jax.Array:
+    """(L,) canonical multiplicities -> (2L,) float32 ICF weights."""
+    n_features = 2 * counts.shape[0]
+    c = jnp.concatenate([counts, counts]).astype(jnp.float64)
+    return jnp.log(n_features / (c + 1e-12)).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_components", "density", "chunk_start", "chunk_size")
+)
+def _srp_chunk(seed_mix, icf_chunk, n_components, density, chunk_start, chunk_size):
+    f = (
+        jnp.arange(chunk_start, chunk_start + chunk_size, dtype=jnp.uint64)[:, None]
+        * _GOLDEN
+    )
+    c = jnp.arange(n_components, dtype=jnp.uint64)[None, :]
+    h = splitmix64(f + c + seed_mix)
+    nonzero = (h >> jnp.uint64(1)) < jnp.uint64(int(density * 2.0**63))
+    sign = jnp.where((h & jnp.uint64(1)) == 1, 1.0, -1.0).astype(jnp.float32)
+    scale = jnp.float32((1.0 / density) ** 0.5 / n_components**0.5)
+    return nonzero * sign * scale * icf_chunk[:, None]
+
+
+def build_precompute(
+    counts: jax.Array,
+    n_components: int,
+    seed: int,
+    density: float | None = None,
+    chunk: int = 1 << 16,
+) -> jax.Array:
+    """(2L + 1, n_components) float32: P = SRP .* ICF with one trailing
+    all-zero row for the padding sentinel (feature index 2L), so padded hit
+    matrices embed with no masking."""
+    icf = icf_weights_device(counts)
+    n_features = icf.shape[0]
+    if density is None:
+        density = 1.0 / float(n_features) ** 0.5 if n_features else 1.0
+    seed_mix = splitmix64(jnp.uint64(seed))
+    parts = []
+    for start in range(0, n_features, chunk):
+        size = min(chunk, n_features - start)
+        parts.append(
+            _srp_chunk(seed_mix, icf[start : start + size], n_components, density,
+                       start, size)
+        )
+    zero_row = jnp.zeros((1, n_components), dtype=jnp.float32)
+    if not parts:
+        return zero_row
+    return jnp.concatenate(parts + [zero_row], axis=0)

@@ -81,22 +81,24 @@ def simulate_reads(
 
 
 def _mutate(seq: str, error_rate: float, rng: np.random.Generator) -> str:
-    """Substitution/insertion/deletion noise (ONT-like mix 60/20/20)."""
-    out = []
-    bases = "ACGT"
-    for ch in seq:
-        r = rng.random()
-        if r >= error_rate:
-            out.append(ch)
-            continue
-        kind = rng.random()
-        if kind < 0.6:  # substitution
-            out.append(bases[int(rng.integers(0, 4))])
-        elif kind < 0.8:  # insertion
-            out.append(ch)
-            out.append(bases[int(rng.integers(0, 4))])
-        # else deletion: skip
-    return "".join(out)
+    """Substitution/insertion/deletion noise (ONT-like mix 60/20/20),
+    vectorized for benchmark-scale read sets."""
+    raw = np.frombuffer(seq.encode("ascii"), dtype=np.uint8).copy()
+    n = len(raw)
+    r = rng.random(n)
+    kind = rng.random(n)
+    err = r < error_rate
+    sub = err & (kind < 0.6)
+    ins = err & (kind >= 0.6) & (kind < 0.8)
+    dele = err & (kind >= 0.8)
+    repeats = (1 + ins.astype(np.int64) - dele.astype(np.int64))
+    out = np.repeat(raw, repeats)
+    ends = np.cumsum(repeats)
+    # substituted chars sit at ends-1 for kept positions; inserted random
+    # chars occupy the second copy (also ends-1) of insertion positions
+    rand_pos = np.concatenate([ends[sub] - 1, ends[ins] - 1])
+    out[rand_pos] = _BASES[rng.integers(0, 4, size=len(rand_pos))]
+    return out.tobytes().decode("ascii")
 
 
 def write_fasta(path: str, names: list[str], sequences: list[str]) -> None:

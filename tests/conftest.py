@@ -13,3 +13,9 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon TPU plugin in this image ignores JAX_PLATFORMS; the config update
+# actually wins (must happen before backend initialization).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

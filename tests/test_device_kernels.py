@@ -1,0 +1,234 @@
+"""Every device stage must match the numpy oracle exactly (or within fp
+tolerance for float stages)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fedrann_tpu import oracle
+from fedrann_tpu.io.packing import encode_bases, pack_reads
+from fedrann_tpu.io.fastx import FastxRecord
+from fedrann_tpu.kmers.codec import (
+    canonical_window_codes,
+    splitmix64,
+    window_codes,
+    words_to_u64,
+)
+from fedrann_tpu.kmers.count import count_canonical_kmers
+from fedrann_tpu.kmers.membership import (
+    library_device_words,
+    mirror_hits,
+    read_hits,
+)
+from fedrann_tpu.kmers.sample import build_library_device
+from fedrann_tpu.knn.topk import knn_exact
+from fedrann_tpu.project.embed import embed_hits
+from fedrann_tpu.project.srp import build_precompute, icf_weights_device
+from fedrann_tpu.sim import simulate_reads
+
+
+def _random_bases(rng, r, l, n_frac=0.01):
+    b = rng.integers(0, 4, size=(r, l)).astype(np.uint8)
+    b[rng.random((r, l)) < n_frac] = 4
+    return b
+
+
+def test_splitmix64_matches_oracle():
+    x = np.random.default_rng(0).integers(0, 2**63, size=1000, dtype=np.uint64)
+    dev = np.asarray(splitmix64(jnp.asarray(x)))
+    assert np.array_equal(dev, oracle.splitmix64(x))
+
+
+@pytest.mark.parametrize("k", [3, 15, 16, 17, 21, 31])
+def test_window_codes_match_oracle(k):
+    rng = np.random.default_rng(k)
+    bases = _random_bases(rng, 6, 100)
+    code_w, rc_w, valid = window_codes(jnp.asarray(bases), k)
+    codes = words_to_u64(tuple(np.asarray(w) for w in code_w))
+    rc = words_to_u64(tuple(np.asarray(w) for w in rc_w))
+    valid = np.asarray(valid)
+    for r in range(6):
+        expect = oracle.kmer_code(bases[r], k)
+        exp_valid = expect != np.uint64(0xFFFFFFFFFFFFFFFF)
+        assert np.array_equal(valid[r], exp_valid)
+        assert np.array_equal(codes[r][exp_valid], expect[exp_valid])
+        exp_rc = oracle.revcomp_code(expect[exp_valid], k)
+        assert np.array_equal(rc[r][exp_valid], exp_rc)
+
+
+@pytest.mark.parametrize("k", [15, 16, 21])
+def test_canonical_window_codes_match_oracle(k):
+    rng = np.random.default_rng(7)
+    bases = _random_bases(rng, 4, 200)
+    canon_w, is_fwd, valid = canonical_window_codes(jnp.asarray(bases), k)
+    canon = words_to_u64(tuple(np.asarray(w) for w in canon_w))
+    valid = np.asarray(valid)
+    for r in range(4):
+        codes = oracle.kmer_code(bases[r], k)
+        v = codes != np.uint64(0xFFFFFFFFFFFFFFFF)
+        expect = oracle.canonical_code(codes[v], k)
+        assert np.array_equal(canon[r][valid[r]], expect)
+
+
+@pytest.mark.parametrize("k", [11, 21])
+def test_count_matches_oracle(k):
+    sim = simulate_reads(genome_length=8000, coverage=6, mean_read_length=900, seed=5)
+    packed = pack_reads(
+        [FastxRecord(n, s) for n, s in zip(sim.names, sim.sequences)],
+        length_buckets=(2048,),
+    )
+    codes, counts = count_canonical_kmers([b.bases for b in packed.buckets], k)
+    # oracle count
+    lib = oracle.build_library(sim.sequences, k, min_multiplicity=1,
+                               sample_fraction=1.0, seed=0)
+    assert np.array_equal(codes, lib.codes)
+    assert np.array_equal(counts, lib.counts)
+
+
+def test_count_chunk_merge():
+    """Counting in several batches must equal counting in one."""
+    rng = np.random.default_rng(3)
+    bases = _random_bases(rng, 32, 500, n_frac=0.02)
+    one = count_canonical_kmers([bases], 9)
+    many = count_canonical_kmers([bases[i : i + 8] for i in range(0, 32, 8)], 9)
+    assert np.array_equal(one[0], many[0])
+    assert np.array_equal(one[1], many[1])
+
+
+def _mk_library(sim, k, frac=0.5, seed=9, min_mult=2):
+    return oracle.build_library(sim.sequences, k, min_mult, frac, seed)
+
+
+def test_device_library_matches_oracle():
+    sim = simulate_reads(genome_length=6000, coverage=6, mean_read_length=700, seed=2)
+    k = 13
+    packed = pack_reads(
+        [FastxRecord(n, s) for n, s in zip(sim.names, sim.sequences)],
+        length_buckets=(2048,),
+    )
+    codes, counts = count_canonical_kmers([b.bases for b in packed.buckets], k)
+    lib_dev = build_library_device(codes, counts, 2, 0.3, seed=17)
+    lib_orc = oracle.build_library(sim.sequences, k, 2, 0.3, seed=17)
+    assert np.array_equal(lib_dev.codes, lib_orc.codes)
+    assert np.array_equal(lib_dev.counts, lib_orc.counts)
+
+
+@pytest.mark.parametrize("k", [13, 21])
+def test_read_hits_match_oracle(k):
+    sim = simulate_reads(genome_length=6000, coverage=5, mean_read_length=800, seed=4)
+    lib = _mk_library(sim, k)
+    packed = pack_reads(
+        [FastxRecord(n, s) for n, s in zip(sim.names, sim.sequences)],
+        length_buckets=(2048,),
+    )
+    bucket = packed.buckets[0]
+    hits, n_hits, dropped = read_hits(
+        jnp.asarray(bucket.bases), library_device_words(lib.codes, k),
+        k, max_hits=2048,
+    )
+    hits, n_hits = np.asarray(hits), np.asarray(n_hits)
+    assert np.asarray(dropped).sum() == 0
+    sentinel = 2 * lib.size
+    for row in range(bucket.bases.shape[0]):
+        ri = bucket.read_index[row]
+        got = hits[row][hits[row] != sentinel]
+        if ri < 0:
+            assert len(got) == 0
+            continue
+        expect = oracle.read_feature_indices(sim.sequences[ri], k, lib)
+        assert np.array_equal(got, expect), f"read {ri}"
+        assert n_hits[row] == len(expect)
+
+
+def test_read_hits_cap_drops_and_reports():
+    sim = simulate_reads(genome_length=4000, coverage=3, mean_read_length=600, seed=6)
+    k = 9
+    lib = _mk_library(sim, k, frac=1.0, min_mult=1)
+    packed = pack_reads(
+        [FastxRecord(n, s) for n, s in zip(sim.names, sim.sequences)],
+        length_buckets=(1024,),
+    )
+    bucket = packed.buckets[0]
+    cap = 16
+    hits, n_hits, dropped = read_hits(
+        jnp.asarray(bucket.bases), library_device_words(lib.codes, k),
+        k, max_hits=cap,
+    )
+    hits, n_hits, dropped = map(np.asarray, (hits, n_hits, dropped))
+    real = bucket.read_index >= 0
+    assert dropped[real].sum() > 0  # dense library must overflow a cap of 16
+    assert n_hits.max() <= cap
+    sentinel = 2 * lib.size
+    # kept entries are the smallest feature indices, sorted, no sentinel
+    row = int(np.where(real)[0][0])
+    expect = oracle.read_feature_indices(sim.sequences[bucket.read_index[row]], k, lib)
+    assert np.array_equal(hits[row], expect[:cap]) or len(expect) < cap
+
+
+def test_mirror_hits_matches_oracle():
+    lib_size = 10
+    sentinel = 2 * lib_size
+    hits = np.array([[0, 3, 12, 17, sentinel, sentinel]], dtype=np.int32)
+    mirrored = np.asarray(mirror_hits(jnp.asarray(hits), lib_size))
+    real = mirrored[0][mirrored[0] != sentinel]
+    expect = oracle.mirror_indices(np.array([0, 3, 12, 17]), lib_size)
+    assert np.array_equal(real, expect)
+    assert np.all(np.diff(mirrored[0]) >= 0)
+
+
+def test_icf_and_precompute_match_oracle():
+    counts = np.array([2, 7, 13, 40], dtype=np.int64)
+    lib = oracle.KmerLibrary(codes=np.arange(4, dtype=np.uint64), counts=counts)
+    w_dev = np.asarray(icf_weights_device(jnp.asarray(counts)))
+    assert np.allclose(w_dev, oracle.icf_weights(lib), rtol=1e-6)
+
+    d, seed = 64, 2094
+    p_dev = np.asarray(build_precompute(jnp.asarray(counts), d, seed, chunk=3))
+    srp = oracle.srp_matrix(8, d, seed)
+    expect = srp * oracle.icf_weights(lib)[:, None]
+    assert p_dev.shape == (9, d)
+    assert np.allclose(p_dev[:8], expect, rtol=1e-5, atol=1e-7)
+    assert np.all(p_dev[8] == 0)
+
+
+def test_embed_hits_matches_oracle():
+    rng = np.random.default_rng(12)
+    n_feat, d = 100, 32
+    p = rng.normal(size=(n_feat, d)).astype(np.float32)
+    p_ext = np.concatenate([p, np.zeros((1, d), np.float32)])
+    hits = np.full((5, 24), n_feat, dtype=np.int32)
+    rows = []
+    for r in range(5):
+        n = rng.integers(0, 20)
+        feat = np.sort(rng.choice(n_feat, size=n, replace=False)).astype(np.int32)
+        hits[r, : len(feat)] = feat
+        rows.append(feat)
+    e = np.asarray(embed_hits(jnp.asarray(hits), jnp.asarray(p_ext), hit_chunk=7))
+    for r in range(5):
+        expect = p[rows[r]].sum(axis=0) if len(rows[r]) else np.zeros(d)
+        assert np.allclose(e[r], expect, rtol=1e-5, atol=1e-5)
+
+
+def test_knn_exact_matches_oracle():
+    rng = np.random.default_rng(13)
+    e = rng.normal(size=(100, 32)).astype(np.float32)
+    e[7] = 0  # zero row must not crash or produce NaN
+    idx_d, dist_d = knn_exact(e, 10, query_tile=16, precision="fp32")
+    idx_o, dist_o = oracle.knn_cosine(e, 10)
+    assert not np.any(np.isnan(dist_d))
+    # distances agree within fp tolerance at each rank
+    assert np.allclose(dist_d, dist_o, atol=2e-4)
+    # neighbor sets agree except possible boundary ties
+    for r in range(100):
+        inter = len(set(idx_d[r]) & set(idx_o[r]))
+        assert inter >= 9, f"row {r}: {inter}"
+
+
+def test_knn_bf16_close_to_fp32():
+    rng = np.random.default_rng(14)
+    e = rng.normal(size=(256, 128)).astype(np.float32)
+    idx16, d16 = knn_exact(e, 5, precision="bf16")
+    idx32, d32 = knn_exact(e, 5, precision="fp32")
+    assert np.allclose(d16, d32, atol=2e-2)
+    agree = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(idx16, idx32)])
+    assert agree > 0.9

@@ -1,0 +1,109 @@
+"""End-to-end: CLI -> overlaps.tsv, device pipeline vs oracle pipeline."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fedrann_tpu import oracle
+from fedrann_tpu.cli import config_from_args, main
+from fedrann_tpu.pipeline import run_pipeline
+from fedrann_tpu.sim import simulate_reads, write_fasta
+
+
+@pytest.fixture(scope="module")
+def sim_input(tmp_path_factory):
+    d = tmp_path_factory.mktemp("data")
+    sim = simulate_reads(genome_length=15000, coverage=6, mean_read_length=1500,
+                         error_rate=0.02, seed=21)
+    path = str(d / "reads.fasta.gz")
+    write_fasta(path, sim.names, sim.sequences)
+    return sim, path
+
+
+BASE_ARGS = [
+    "-k", "13", "--kmer-sample-fraction", "0.2", "--kmer-min-multiplicity", "2",
+    "--seed", "602", "-n", "128", "--nndescent-n-neighbors", "10",
+    "--length-buckets", "4096", "--knn-query-tile", "64",
+]
+
+
+def test_cli_end_to_end(sim_input, tmp_path):
+    sim, path = sim_input
+    out = str(tmp_path / "out")
+    rc = main(["-i", path, "-o", out, "--save-feature-matrix", "--mprof",
+               *BASE_ARGS])
+    assert rc == 0
+    tsv = os.path.join(out, "overlaps.tsv")
+    assert os.path.exists(tsv)
+    with open(tsv) as f:
+        header = f.readline().strip().split("\t")
+        assert header == ["query_name", "query_orientation", "target_name",
+                          "target_orientation", "neighbor_rank", "distance"]
+        rows = [line.strip().split("\t") for line in f]
+    assert len(rows) > 0
+    names = set(sim.names)
+    for r in rows[:50]:
+        assert r[0] in names and r[2] in names
+        assert r[1] in "+-" and r[3] in "+-"
+        assert 1 <= int(r[4]) < 10
+        assert 0 <= float(r[5]) <= 2.001
+    # implemented-for-real flags (reference never writes these)
+    assert os.path.exists(os.path.join(out, "feature_matrix.npz"))
+    assert os.path.exists(os.path.join(out, "mprof.dat"))
+    assert os.path.exists(os.path.join(out, "metrics.json"))
+    assert os.path.exists(os.path.join(out, "fedrann.log"))
+    npz = np.load(os.path.join(out, "feature_matrix.npz"))
+    assert npz["embeddings"].shape == (2 * len(sim.names), 128)
+
+
+def test_device_matches_oracle_end_to_end(sim_input, tmp_path):
+    """Embeddings and neighbor structure must match the numpy oracle."""
+    sim, path = sim_input
+    config = config_from_args(["-i", path, "-o", str(tmp_path / "o"), *BASE_ARGS])
+    result = run_pipeline(config)
+
+    lib_o, emb_o, idx_o, dist_o = oracle.run_oracle_pipeline(
+        sim.sequences, k=13, sample_fraction=0.2, min_multiplicity=2,
+        n_components=128, n_neighbors=10, library_seed=602,
+        projection_seed=2094,
+    )
+    assert np.array_equal(result.library.codes, lib_o.codes)
+    assert np.allclose(result.embeddings, emb_o, rtol=1e-4, atol=1e-4)
+    # neighbor agreement (bf16 matmul tolerance): mean overlap of neighbor sets
+    agree = np.mean([
+        len(set(a) & set(b)) / len(b)
+        for a, b in zip(result.neighbor_indices, idx_o)
+    ])
+    assert agree > 0.95, f"neighbor agreement {agree}"
+    assert np.allclose(result.neighbor_distances, dist_o, atol=2e-2)
+
+
+def test_checkpoint_resume(sim_input, tmp_path):
+    sim, path = sim_input
+    out = str(tmp_path / "ck")
+    args = ["-i", path, "-o", out, "--keep-intermediates", *BASE_ARGS]
+    r1 = run_pipeline(config_from_args(args))
+    lib_path = os.path.join(out, "checkpoints", "library.npz")
+    assert os.path.exists(lib_path)
+    # second run resumes the library checkpoint and reproduces results
+    r2 = run_pipeline(config_from_args(args))
+    assert np.array_equal(r1.library.codes, r2.library.codes)
+    assert np.array_equal(r1.neighbor_indices, r2.neighbor_indices)
+
+
+def test_truth_recall(sim_input, tmp_path):
+    """Device pipeline recovers genomic overlaps (the actual task)."""
+    sim, path = sim_input
+    config = config_from_args(["-i", path, "-o", str(tmp_path / "t"), *BASE_ARGS])
+    result = run_pipeline(config)
+    truth = sim.truth_overlaps(min_overlap=800)
+    assert truth
+    idx = result.neighbor_indices
+    found = sum(
+        1 for a, b in truth
+        if b in {int(t) // 2 for t in idx[2 * a]}
+        or a in {int(t) // 2 for t in idx[2 * b]}
+    )
+    recall = found / len(truth)
+    assert recall > 0.75, f"recall {recall}"

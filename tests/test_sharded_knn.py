@@ -1,0 +1,52 @@
+"""Sharded k-NN (ring + allgather over the 8-device CPU mesh) vs the
+single-device exact search."""
+
+import jax
+import numpy as np
+import pytest
+
+from fedrann_tpu.knn.ring import knn_exact_sharded
+from fedrann_tpu.knn.topk import knn_exact
+from fedrann_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return make_mesh()
+
+
+@pytest.mark.parametrize("strategy", ["ring", "allgather"])
+def test_sharded_matches_single_device(mesh, strategy):
+    rng = np.random.default_rng(31)
+    e = rng.normal(size=(200, 64)).astype(np.float32)  # 200 not divisible by 8
+    e[11] = 0.0
+    idx_s, dist_s = knn_exact_sharded(e, 10, mesh=mesh, strategy=strategy,
+                                      precision="fp32")
+    idx_1, dist_1 = knn_exact(e, 10, precision="fp32")
+    assert idx_s.shape == (200, 10)
+    assert np.allclose(dist_s, dist_1, atol=1e-4)
+    for r in range(200):
+        assert len(set(idx_s[r]) & set(idx_1[r])) >= 9, r
+    # no padded (>=200) or unset (-1) indices escape
+    assert idx_s.max() < 200 and idx_s.min() >= 0
+
+
+@pytest.mark.parametrize("strategy", ["ring", "allgather"])
+def test_sharded_self_at_rank_zero(mesh, strategy):
+    rng = np.random.default_rng(32)
+    e = rng.normal(size=(64, 32)).astype(np.float32)
+    idx_s, dist_s = knn_exact_sharded(e, 5, mesh=mesh, strategy=strategy,
+                                      precision="fp32")
+    assert np.array_equal(idx_s[:, 0], np.arange(64))
+    assert np.allclose(dist_s[:, 0], 0.0, atol=1e-5)
+
+
+def test_mesh_smaller_than_devices():
+    mesh = make_mesh(shape=(4,))
+    rng = np.random.default_rng(33)
+    e = rng.normal(size=(50, 16)).astype(np.float32)
+    idx_s, dist_s = knn_exact_sharded(e, 4, mesh=mesh, strategy="ring",
+                                      precision="fp32")
+    idx_1, dist_1 = knn_exact(e, 4, precision="fp32")
+    assert np.allclose(dist_s, dist_1, atol=1e-4)
