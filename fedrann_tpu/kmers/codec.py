@@ -38,6 +38,30 @@ def n_words(k: int) -> int:
     return 1 if k <= 16 else 2
 
 
+def fmix32(x: jax.Array) -> jax.Array:
+    """murmur3 finalizer; bitwise-identical to oracle.fmix32 (numpy)."""
+    x = x.astype(jnp.uint32)
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> jnp.uint32(13))
+    x = x * jnp.uint32(0xC2B2AE35)
+    return x ^ (x >> jnp.uint32(16))
+
+
+def sample_hash32(words: tuple, seed: int) -> jax.Array:
+    """Device twin of oracle.sample_hash32: uint32 library-sampling hash
+    over canonical-code word tuples ((lo,) or (hi, lo))."""
+    if len(words) == 1:
+        hi, lo = None, words[0]
+    else:
+        hi, lo = words
+    s1 = fmix32(jnp.asarray(seed).astype(jnp.uint32))
+    s2 = fmix32(s1 ^ jnp.uint32(0x9E3779B9))
+    h1 = fmix32(lo ^ s1)
+    h2 = fmix32((jnp.uint32(0) if hi is None else hi) ^ s2 ^ h1)
+    return fmix32(h1 ^ h2)
+
+
 def splitmix64(x: jax.Array) -> jax.Array:
     """uint64 mixer; bitwise-identical to oracle.splitmix64 (numpy). Used
     only in small/off-hot-path device code (SRP generation)."""

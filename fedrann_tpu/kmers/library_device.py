@@ -1,0 +1,182 @@
+"""Fully device-resident k-mer library construction.
+
+Replaces the whole jellyfish-count/dump + awk-sample + seqkit-revcomp
+subshell chain (reference count_kmers.py:52-149) with ONE device program
+over the concatenated canonical window stream:
+
+  sort -> run-length boundaries -> multiplicity filter -> seeded-hash
+  threshold sampling -> scatter-compaction into a static-capacity buffer.
+
+Rationale: on tunneled/remote TPU hosts, device->host bandwidth is the
+scarcest resource (measured ~3 MB/s here vs ~20 MB/s host->device); the raw
+window stream must never leave the device. Only the compacted sampled
+library (codes + counts, a few MB at most) is transferred, once.
+
+The sampling hash is bitwise-identical to oracle.sample_mask (splitmix64
+threshold), so host, device, and every chip in a mesh reconstruct the same
+library from the seed with zero communication.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fedrann_tpu.kmers.codec import sample_hash32, words_to_u64
+from fedrann_tpu.kmers.count import _sort_words
+from fedrann_tpu.logging_utils import logger
+from fedrann_tpu.oracle import KmerLibrary
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _prefilter_sampled(flat_words, cap: int, seed32, threshold):
+    """Sampling-first: keep only windows whose code passes the sampling
+    hash BEFORE the global sort. Sampling commutes with counting (every
+    occurrence of a code shares the hash), so survivor counts are exact —
+    and the expensive sort shrinks by ~1/sample_fraction."""
+    keep = sample_hash32(flat_words, seed32) < threshold
+    is_sent = flat_words[0] == jnp.uint32(0xFFFFFFFF)
+    for w in flat_words[1:]:
+        is_sent = is_sent & (w == jnp.uint32(0xFFFFFFFF))
+    keep = keep & (~is_sent)
+    out_pos = jnp.cumsum(keep) - 1
+    target = jnp.where(keep & (out_pos < cap), out_pos, cap).astype(jnp.int32)
+    out = tuple(
+        jnp.full((cap,), 0xFFFFFFFF, dtype=jnp.uint32).at[target].set(w, mode="drop")
+        for w in flat_words
+    )
+    return out, jnp.sum(keep).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("min_multiplicity",))
+def _keep_and_counts(sorted_words, min_multiplicity: int, seed32, threshold,
+                     keep_all):
+    """sorted_words: tuple of (N,) uint32 planes, lexicographically sorted,
+    all-ones sentinel block on top. Returns (keep mask, group counts)."""
+    n = sorted_words[0].shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    prev = tuple(w[:-1] for w in sorted_words)
+    curr = tuple(w[1:] for w in sorted_words)
+    ne = curr[0] != prev[0]
+    for a, b in zip(curr[1:], prev[1:]):
+        ne = ne | (a != b)
+    boundary = jnp.concatenate([jnp.ones((1,), bool), ne])
+
+    is_sentinel = sorted_words[0] == jnp.uint32(0xFFFFFFFF)
+    for w in sorted_words[1:]:
+        is_sentinel = is_sentinel & (w == jnp.uint32(0xFFFFFFFF))
+
+    # run length of the group starting at p = next boundary index - p
+    b_idx = jnp.where(boundary, idx, n)
+    nxt = jnp.concatenate([b_idx[1:], jnp.full((1,), n, jnp.int32)])
+    next_boundary = jax.lax.cummin(nxt, axis=0, reverse=True)
+    count = next_boundary - idx
+
+    hashed = sample_hash32(sorted_words, seed32)
+    sampled = keep_all | (hashed < threshold)
+    keep = boundary & (~is_sentinel) & (count >= min_multiplicity) & sampled
+    return keep, count
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact(sorted_words, keep, count, cap: int):
+    out_pos = jnp.cumsum(keep) - 1
+    target = jnp.where(keep & (out_pos < cap), out_pos, cap).astype(jnp.int32)
+    lib_words = tuple(
+        jnp.full((cap,), 0xFFFFFFFF, dtype=jnp.uint32).at[target].set(w, mode="drop")
+        for w in sorted_words
+    )
+    counts = jnp.zeros((cap,), jnp.int32).at[target].set(
+        count.astype(jnp.int32), mode="drop"
+    )
+    n_keep = jnp.sum(keep).astype(jnp.int32)
+    return lib_words, counts, n_keep
+
+
+def _compact_library(sorted_words, min_multiplicity, cap, seed, threshold,
+                     keep_all):
+    """Small separately-jitted stages: each program is simple and
+    persistent-cache-stable, which matters more than fusion on platforms
+    where one big Mosaic compile can take minutes."""
+    keep, count = _keep_and_counts(
+        sorted_words, min_multiplicity,
+        jnp.uint32(np.uint32(seed & 0xFFFFFFFF)), threshold, keep_all,
+    )
+    return _compact(sorted_words, keep, count, cap)
+
+
+def build_library_on_device(
+    canon_chunks: list,
+    k: int,
+    min_multiplicity: int,
+    sample_fraction: float,
+    seed: int,
+    cap: int | None = None,
+) -> KmerLibrary:
+    """canon_chunks: list of canonical-code word tuples (device arrays, any
+    shape — flattened here), as produced by canonical_window_codes (invalid
+    windows carry the all-ones sentinel). Returns the host KmerLibrary
+    (sorted unique sampled codes + multiplicities).
+    """
+    n_words_ = len(canon_chunks[0])
+    flat = tuple(
+        jnp.concatenate([c[i].ravel() for c in canon_chunks])
+        for i in range(n_words_)
+    )
+    total = flat[0].shape[0]
+    # pad the stream to the next power of two with the all-ones sentinel:
+    # shapes are then cache-stable across datasets, so the expensive sort /
+    # compact programs compile once per size class, not once per run
+    padded = 1 << (total - 1).bit_length()
+    if padded > total:
+        flat = tuple(
+            jnp.concatenate(
+                [w, jnp.full((padded - total,), 0xFFFFFFFF, dtype=jnp.uint32)]
+            )
+            for w in flat
+        )
+    if cap is None:
+        # worst case every window is unique; sampling keeps ~fraction of them
+        cap = min(total, max(1024, int(2.5 * sample_fraction * total)))
+    cap = 1 << (int(cap) - 1).bit_length()
+
+    keep_all = sample_fraction >= 1.0
+    threshold = np.uint32(min(int(sample_fraction * 2.0**32), 2**32 - 1))
+    seed32 = jnp.uint32(np.uint32(seed & 0xFFFFFFFF))
+
+    if not keep_all:
+        # sampling-first: shrink the sort by ~1/sample_fraction
+        scap = min(padded, max(1024, int(2.5 * sample_fraction * padded)))
+        scap = 1 << (int(scap) - 1).bit_length()
+        survivors, n_surv = _prefilter_sampled(flat, scap, seed32, threshold)
+        if int(n_surv) > scap:
+            logger.warning(
+                "sampling prefilter capacity %d overflowed (%d) — "
+                "falling back to the full stream", scap, int(n_surv),
+            )
+        else:
+            flat = survivors
+
+    sorted_words = _sort_words(flat)
+    lib_words, counts, n_keep = _compact_library(
+        sorted_words, min_multiplicity, cap,
+        seed, jnp.uint32(threshold), jnp.bool_(keep_all),
+    )
+    n = int(n_keep)
+    if n > cap:
+        logger.warning(
+            "library capacity %d overflowed (%d kept) — rebuilding uncapped",
+            cap, n,
+        )
+        lib_words, counts, n_keep = _compact_library(
+            sorted_words, min_multiplicity, total,
+            seed, jnp.uint32(threshold), jnp.bool_(keep_all),
+        )
+    host_words = tuple(np.asarray(w)[:n] for w in lib_words)
+    host_counts = np.asarray(counts)[:n].astype(np.int64)
+    codes = words_to_u64(host_words)
+    return KmerLibrary(codes=codes, counts=host_counts)

@@ -84,13 +84,40 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z
 
 
+def fmix32(x: np.ndarray) -> np.ndarray:
+    """murmur3 32-bit finalizer — the TPU is a 32-bit machine, so the
+    library-sampling hash is defined in uint32 ops (64-bit multiplies cost
+    ~100x compile time on-device)."""
+    x = np.asarray(x, dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        x = x ^ (x >> np.uint32(16))
+        x = x * np.uint32(0x85EBCA6B)
+        x = x ^ (x >> np.uint32(13))
+        x = x * np.uint32(0xC2B2AE35)
+        x = x ^ (x >> np.uint32(16))
+    return x
+
+
+def sample_hash32(codes: np.ndarray, seed: int) -> np.ndarray:
+    """The library-sampling hash: uint32, defined on the (hi, lo) words of
+    the canonical code. Deterministic and order-free, so every host/chip
+    reconstructs the same sample with zero communication."""
+    codes = np.asarray(codes, dtype=np.uint64)
+    lo = (codes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (codes >> np.uint64(32)).astype(np.uint32)
+    s1 = fmix32(np.uint32(seed & 0xFFFFFFFF))
+    s2 = fmix32(s1 ^ np.uint32(0x9E3779B9))
+    h1 = fmix32(lo ^ s1)
+    h2 = fmix32(hi ^ s2 ^ h1)
+    return fmix32(h1 ^ h2)
+
+
 def sample_mask(codes: np.ndarray, fraction: float, seed: int) -> np.ndarray:
-    """Keep a canonical code iff hash(code ^ mix(seed)) < fraction * 2**64."""
-    mixed = splitmix64(np.asarray(codes, np.uint64) ^ splitmix64(np.uint64(seed)))
-    threshold = np.uint64(min(int(fraction * 2.0**64), 2**64 - 1))
+    """Keep a canonical code iff sample_hash32(code) < fraction * 2**32."""
     if fraction >= 1.0:
         return np.ones(len(codes), dtype=bool)
-    return mixed < threshold
+    threshold = np.uint32(min(int(fraction * 2.0**32), 2**32 - 1))
+    return sample_hash32(codes, seed) < threshold
 
 
 # --- library construction --------------------------------------------------

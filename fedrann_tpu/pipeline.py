@@ -17,10 +17,12 @@ Stages (same 4-step shape as the reference):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 from typing import Iterator, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,13 +30,13 @@ from fedrann_tpu.config import PipelineConfig
 from fedrann_tpu.io.fastx import read_fastx
 from fedrann_tpu.io.packing import PackedBucket, PackedReads, pack_reads
 from fedrann_tpu.io.tsv import write_overlaps_tsv
-from fedrann_tpu.kmers.count import count_canonical_kmers
+from fedrann_tpu.kmers.codec import canonical_window_codes
+from fedrann_tpu.kmers.library_device import build_library_on_device
 from fedrann_tpu.kmers.membership import (
     library_device_words,
     mirror_hits,
     read_hits,
 )
-from fedrann_tpu.kmers.sample import build_library_device
 from fedrann_tpu.knn.topk import knn_exact
 from fedrann_tpu.logging_utils import add_log_file, logger, set_logging_level
 from fedrann_tpu.metrics import MemorySampler, StageMetrics
@@ -74,19 +76,30 @@ def _row_chunks(bucket: PackedBucket, window_batch: int) -> Iterator[np.ndarray]
         yield _pad_chunk(bucket.bases[start : start + rows], rows, INVALID)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_embeddings(buf, t_fwd, t_rev, e_fwd, e_rev):
+    """Scatter a chunk's fwd/rev embedding rows into the device-resident
+    (2R+1, d) buffer (row 2R is the garbage slot for padding reads)."""
+    buf = buf.at[t_fwd].set(e_fwd)
+    return buf.at[t_rev].set(e_rev)
+
+
 def compute_embeddings(
     packed: PackedReads,
     library: KmerLibrary,
     config: PipelineConfig,
     p_ext: jnp.ndarray,
-) -> tuple[np.ndarray, int]:
-    """Stage 3: (2R, d) embeddings in global (read0_fwd, read0_rev, ...) row
-    order (reference __main__.py:277-282). Returns (matrix, dropped_hits)."""
+) -> tuple[jnp.ndarray, int]:
+    """Stage 3: (2R, d) float32 embeddings in global (read0_fwd, read0_rev,
+    ...) row order (reference __main__.py:277-282), DEVICE-resident — the
+    matrix never crosses to the host (device->host bandwidth is the scarce
+    resource on tunneled TPU hosts; the k-NN consumes it in place).
+    Returns (device matrix view, dropped_hits)."""
     n_reads = packed.n_reads
     d = p_ext.shape[1]
-    emb = np.zeros((2 * n_reads, d), dtype=np.float32)
+    buf = jnp.zeros((2 * n_reads + 1, d), dtype=jnp.float32)
     lib_words = library_device_words(library.codes, config.kmer_size)
-    total_dropped = 0
+    dropped_parts = []
     from fedrann_tpu.io.packing import INVALID
 
     for bucket in packed.buckets:
@@ -100,18 +113,21 @@ def compute_embeddings(
                 jnp.asarray(chunk), lib_words, config.kmer_size,
                 config.max_hits_per_read,
             )
-            e_fwd = np.asarray(embed_hits(hits, p_ext))
-            e_rev = np.asarray(embed_hits(mirror_hits(hits, library.size), p_ext))
-            total_dropped += int(np.asarray(dropped).sum())
-            real = idx >= 0
-            emb[2 * idx[real]] = e_fwd[real]
-            emb[2 * idx[real] + 1] = e_rev[real]
+            e_fwd = embed_hits(hits, p_ext)
+            e_rev = embed_hits(mirror_hits(hits, library.size), p_ext)
+            garbage = 2 * n_reads
+            t_fwd = jnp.asarray(np.where(idx >= 0, 2 * idx, garbage))
+            t_rev = jnp.asarray(np.where(idx >= 0, 2 * idx + 1, garbage))
+            buf = _scatter_embeddings(buf, t_fwd, t_rev, e_fwd, e_rev)
+            dropped_parts.append(jnp.sum(dropped))
+    total_dropped = int(sum(int(x) for x in jax.device_get(dropped_parts))) \
+        if dropped_parts else 0
     if total_dropped:
         logger.warning(
             "max_hits_per_read=%d dropped %d distinct hits; raise the cap "
             "for full parity", config.max_hits_per_read, total_dropped,
         )
-    return emb, total_dropped
+    return buf[: 2 * n_reads], total_dropped
 
 
 def run_pipeline(config: PipelineConfig) -> PipelineResult:
@@ -154,7 +170,7 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
         with metrics.stage("embed"):
             emb, _ = compute_embeddings(packed, library, config, p_ext)
             if ckpt_dir:
-                np.save(os.path.join(ckpt_dir, "embeddings.npy"), emb)
+                np.save(os.path.join(ckpt_dir, "embeddings.npy"), np.asarray(emb))
 
         with metrics.stage("knn"):
             idx, dist = knn_exact(
@@ -175,7 +191,7 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                     # writes it (README.md:66, SURVEY.md §2.4); we do.
                     np.savez_compressed(
                         os.path.join(out_dir, "feature_matrix.npz"),
-                        embeddings=emb,
+                        embeddings=np.asarray(emb),
                         names=np.array(packed.names),
                     )
     finally:
@@ -212,13 +228,17 @@ def _load_or_build_library(
                 logger.info("resuming library from %s", path)
                 return KmerLibrary(codes=data["codes"], counts=data["counts"])
 
-    def batches():
-        for bucket in packed.buckets:
-            yield from _row_chunks(bucket, config.window_batch)
-
-    codes, counts = count_canonical_kmers(batches(), config.kmer_size)
-    library = build_library_device(
-        codes, counts, config.kmer_min_multiplicity,
+    # canonical windows per chunk stay on device; the sampled library is the
+    # only k-mer artifact that ever reaches the host
+    canon_chunks = []
+    for bucket in packed.buckets:
+        for chunk in _row_chunks(bucket, config.window_batch):
+            canon, _, _ = canonical_window_codes(
+                jnp.asarray(chunk), config.kmer_size
+            )
+            canon_chunks.append(canon)
+    library = build_library_on_device(
+        canon_chunks, config.kmer_size, config.kmer_min_multiplicity,
         config.kmer_sample_fraction, config.seed,
     )
     if ckpt_dir:
