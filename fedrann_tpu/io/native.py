@@ -1,0 +1,142 @@
+"""ctypes bindings for the native FASTX parser (native/fastxpack.cpp).
+
+The native path parses + 2-bit-encodes reads in C++ (zlib for .gz) and
+hands numpy zero-copy views; pack_reads_native buckets them with vectorized
+numpy. Falls back to None when the .so isn't built — callers degrade to the
+pure-Python reader (fedrann_tpu/io/fastx.py), which is the behavioral
+oracle for this module's tests.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from fedrann_tpu.io.packing import INVALID, PackedBucket, PackedReads, full_fast
+from fedrann_tpu.logging_utils import logger
+
+_SO_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+    "libfastxpack.so",
+)
+
+
+class _FastxParsed(ctypes.Structure):
+    _fields_ = [
+        ("codes", ctypes.POINTER(ctypes.c_uint8)),
+        ("offsets", ctypes.POINTER(ctypes.c_uint64)),
+        # POINTER(c_char), NOT c_char_p: the buffer is NUL-separated and
+        # c_char_p would truncate at the first NUL on attribute access
+        ("names", ctypes.POINTER(ctypes.c_char)),
+        ("name_offsets", ctypes.POINTER(ctypes.c_uint64)),
+        ("n_reads", ctypes.c_uint64),
+        ("total_bases", ctypes.c_uint64),
+        ("names_bytes", ctypes.c_uint64),
+    ]
+
+
+_lib = None
+
+
+def load_native() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO_PATH):
+        return None
+    lib = ctypes.CDLL(_SO_PATH)
+    lib.fastx_parse.argtypes = [ctypes.c_char_p, ctypes.POINTER(_FastxParsed)]
+    lib.fastx_parse.restype = ctypes.c_int
+    lib.fastx_free.argtypes = [ctypes.POINTER(_FastxParsed)]
+    lib.fastx_free.restype = None
+    lib.fastx_fill_bucket.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),   # codes
+        ctypes.POINTER(ctypes.c_uint64),  # offsets
+        ctypes.POINTER(ctypes.c_int32),   # rows
+        ctypes.c_uint64,                  # n_rows
+        ctypes.c_uint64,                  # bucket_len
+        ctypes.POINTER(ctypes.c_uint8),   # out
+    ]
+    lib.fastx_fill_bucket.restype = None
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return load_native() is not None
+
+
+def parse_fastx_native(path: str):
+    """Parse with the C++ library. Returns (names list, codes uint8 array,
+    offsets uint64 array). Raises on parse errors."""
+    lib = load_native()
+    if lib is None:
+        raise RuntimeError("native fastxpack library not built (make -C native)")
+    parsed = _FastxParsed()
+    rc = lib.fastx_parse(path.encode(), ctypes.byref(parsed))
+    if rc != 0:
+        raise ValueError(f"fastx_parse failed with code {rc} for {path}")
+    try:
+        n = parsed.n_reads
+        codes = np.ctypeslib.as_array(parsed.codes, shape=(parsed.total_bases,)).copy()
+        # int64, not uint64: mixing uint64 with signed ints silently
+        # promotes to float64 in numpy arithmetic
+        offsets = (
+            np.ctypeslib.as_array(parsed.offsets, shape=(n + 1,))
+            .astype(np.int64)
+        )
+        raw_names = ctypes.string_at(parsed.names, parsed.names_bytes)
+        names = raw_names.decode("ascii").split("\x00")[:n]
+    finally:
+        lib.fastx_free(ctypes.byref(parsed))
+    return names, codes, offsets
+
+
+def pack_reads_native(
+    path: str,
+    length_buckets: Sequence[int],
+    pad_rows_to: int = 8,
+) -> PackedReads:
+    """Native-parse + vectorized numpy bucketing; behaviorally identical to
+    pack_reads(read_fastx(path), ...)."""
+    names, codes, offsets = parse_fastx_native(path)
+    buckets = sorted(length_buckets)
+    lengths = np.diff(offsets).astype(np.int64)
+    bucket_of = np.searchsorted(buckets, lengths)
+    n_truncated = int(np.sum(bucket_of == len(buckets)))
+    bucket_of = np.minimum(bucket_of, len(buckets) - 1)
+    if n_truncated:
+        logger.warning(
+            "%d reads longer than the largest length bucket (%d) were truncated",
+            n_truncated, buckets[-1],
+        )
+
+    out = []
+    for b, bucket_len in enumerate(buckets):
+        rows = np.flatnonzero(bucket_of == b)
+        if len(rows) == 0:
+            continue
+        padded_rows = -(-len(rows) // pad_rows_to) * pad_rows_to
+        mat = full_fast((padded_rows, bucket_len), INVALID, np.uint8)
+        blens = np.minimum(lengths[rows], bucket_len)
+        lib = load_native()
+        rows32 = np.ascontiguousarray(rows, dtype=np.int32)
+        offsets64 = np.ascontiguousarray(offsets, dtype=np.uint64)
+        lib.fastx_fill_bucket(
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offsets64.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            rows32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(rows), bucket_len,
+            mat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        lens_arr = np.zeros(padded_rows, dtype=np.int32)
+        lens_arr[: len(rows)] = blens
+        read_index = full_fast(padded_rows, -1, np.int32)
+        read_index[: len(rows)] = rows
+        out.append(PackedBucket(bases=mat, lengths=lens_arr, read_index=read_index))
+
+    return PackedReads(names=names, buckets=out, n_truncated=n_truncated)

@@ -12,9 +12,12 @@ scarcest resource (measured ~3 MB/s here vs ~20 MB/s host->device); the raw
 window stream must never leave the device. Only the compacted sampled
 library (codes + counts, a few MB at most) is transferred, once.
 
-The sampling hash is bitwise-identical to oracle.sample_mask (splitmix64
-threshold), so host, device, and every chip in a mesh reconstruct the same
-library from the seed with zero communication.
+The sampling hash is bitwise-identical to oracle.sample_mask (murmur3-style
+uint32 threshold over code words), so host, device, and every chip in a
+mesh reconstruct the same library from the seed with zero communication.
+The stages are small separately-jitted programs rather than one fused
+graph: each is simple and persistent-cache-stable, which matters more than
+fusion on platforms where one big Mosaic compile can take minutes.
 """
 
 from __future__ import annotations
@@ -97,18 +100,6 @@ def _compact(sorted_words, keep, count, cap: int):
     return lib_words, counts, n_keep
 
 
-def _compact_library(sorted_words, min_multiplicity, cap, seed, threshold,
-                     keep_all):
-    """Small separately-jitted stages: each program is simple and
-    persistent-cache-stable, which matters more than fusion on platforms
-    where one big Mosaic compile can take minutes."""
-    keep, count = _keep_and_counts(
-        sorted_words, min_multiplicity,
-        jnp.uint32(np.uint32(seed & 0xFFFFFFFF)), threshold, keep_all,
-    )
-    return _compact(sorted_words, keep, count, cap)
-
-
 def build_library_on_device(
     canon_chunks: list,
     k: int,
@@ -139,11 +130,6 @@ def build_library_on_device(
             )
             for w in flat
         )
-    if cap is None:
-        # worst case every window is unique; sampling keeps ~fraction of them
-        cap = min(total, max(1024, int(2.5 * sample_fraction * total)))
-    cap = 1 << (int(cap) - 1).bit_length()
-
     keep_all = sample_fraction >= 1.0
     threshold = np.uint32(min(int(sample_fraction * 2.0**32), 2**32 - 1))
     seed32 = jnp.uint32(np.uint32(seed & 0xFFFFFFFF))
@@ -162,19 +148,26 @@ def build_library_on_device(
             flat = survivors
 
     sorted_words = _sort_words(flat)
-    lib_words, counts, n_keep = _compact_library(
-        sorted_words, min_multiplicity, cap,
-        seed, jnp.uint32(threshold), jnp.bool_(keep_all),
+    keep, count = _keep_and_counts(
+        sorted_words, min_multiplicity, seed32,
+        jnp.uint32(threshold), jnp.bool_(keep_all),
     )
+    # one scalar transfer buys an exactly-sized compact buffer — the library
+    # D2H transfer is then proportional to the real library, not the stream
+    n = int(jnp.sum(keep)) if cap is None else None
+    if cap is None:
+        cap = 1 << max(10, (max(n, 1) - 1).bit_length())
+    else:
+        cap = 1 << (int(cap) - 1).bit_length()
+    lib_words, counts, n_keep = _compact(sorted_words, keep, count, cap)
     n = int(n_keep)
     if n > cap:
         logger.warning(
             "library capacity %d overflowed (%d kept) — rebuilding uncapped",
             cap, n,
         )
-        lib_words, counts, n_keep = _compact_library(
-            sorted_words, min_multiplicity, total,
-            seed, jnp.uint32(threshold), jnp.bool_(keep_all),
+        lib_words, counts, n_keep = _compact(
+            sorted_words, keep, count, flat[0].shape[0]
         )
     host_words = tuple(np.asarray(w)[:n] for w in lib_words)
     host_counts = np.asarray(counts)[:n].astype(np.int64)

@@ -37,6 +37,56 @@ def library_device_words(lib_codes_u64: np.ndarray, k: int) -> tuple[jax.Array, 
     return tuple(jnp.asarray(w) for w in u64_to_words(lib_codes_u64, k))
 
 
+def _code_prefix(words: tuple, k: int, bits: int) -> jax.Array:
+    """Top `bits` bits of the 2k-bit code as uint32 (monotone in code order)."""
+    shift = max(2 * k, bits) - bits
+    if len(words) == 1:
+        return (words[0] >> jnp.uint32(shift)) & jnp.uint32((1 << bits) - 1)
+    hi, lo = words
+    if shift >= 32:
+        out = hi >> jnp.uint32(shift - 32)
+    else:
+        # shift < 32: prefix straddles the word boundary
+        out = (hi << jnp.uint32(32 - shift)) | (lo >> jnp.uint32(shift))
+    # mask so the all-ones invalid-window sentinel wraps into a valid bucket
+    # (it can never compare equal to a library code, so found stays False)
+    return out & jnp.uint32((1 << bits) - 1)
+
+
+class LibraryIndex:
+    """Two-level membership index: a dense prefix table (start offset of
+    every `bits`-bit code prefix in the sorted library) plus the word planes.
+    Lookup = one table gather + `steps` binary-search refinements — ~5x
+    fewer passes over HBM than a from-scratch binary search, because the
+    prefix gather lands each query in a tiny bucket."""
+
+    def __init__(self, words: tuple, table: jax.Array, k: int, bits: int,
+                 steps: int):
+        self.words = words
+        self.table = table
+        self.k = k
+        self.bits = bits
+        self.steps = steps
+
+
+def build_library_index(lib_codes_u64: np.ndarray, k: int,
+                        bits: int | None = None) -> LibraryIndex:
+    """Build the device index for a sorted host library."""
+    words = library_device_words(lib_codes_u64, k)
+    size = len(lib_codes_u64)
+    if bits is None:
+        # ~2 entries per bucket on average, capped at a 4M-entry table
+        bits = min(22, max(8, int(size).bit_length()))
+    bits = min(bits, 2 * k)
+    lib_prefix = _code_prefix(words, k, bits)
+    table = jnp.searchsorted(
+        lib_prefix, jnp.arange((1 << bits) + 1, dtype=jnp.uint32)
+    ).astype(jnp.int32)
+    max_bucket = int(jnp.max(table[1:] - table[:-1])) if size else 0
+    steps = max(1, int(max_bucket).bit_length())
+    return LibraryIndex(words, table, k, bits, steps)
+
+
 def _searchsorted_words(lib_words: tuple, q_words: tuple) -> jax.Array:
     """Lower-bound index of each query in the lexicographically sorted
     word-tuple library. Single-word: native searchsorted; two-word: fixed
@@ -56,33 +106,32 @@ def _searchsorted_words(lib_words: tuple, q_words: tuple) -> jax.Array:
     return lo
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_hits"))
-def read_hits(
-    bases: jax.Array,            # (R, L_read) uint8
-    lib_words: tuple,            # uint32 word planes, sorted lexicographically
-    k: int,
-    max_hits: int,
-):
-    """Forward-scan feature rows for a bucket of reads.
+def _table_lookup(lib_words: tuple, table: jax.Array, canon: tuple,
+                  k: int, bits: int, steps: int) -> jax.Array:
+    """Prefix-table gather + fixed-step in-bucket binary search."""
+    lib_size = lib_words[0].shape[0]
+    q_prefix = _code_prefix(canon, k, bits)
+    lo = table[q_prefix]
+    hi = table[q_prefix + jnp.uint32(1)]
+    for _ in range(steps):
+        active = lo < hi
+        mid = jnp.clip((lo + hi) >> 1, 0, lib_size - 1)
+        mid_words = tuple(w[mid] for w in lib_words)
+        less = words_less(mid_words, canon) & active
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where((~less) & active, mid, hi)
+    return lo
 
-    Returns:
-      hits      (R, max_hits) int32, sorted ascending, padded with 2L
-      n_hits    (R,) int32 number of real entries (<= max_hits)
-      n_dropped (R,) int32 distinct hits dropped by the max_hits cap
-    """
-    r = bases.shape[0]
+
+def _hits_from_positions(pos, lib_words, canon, is_fwd, valid, max_hits):
+    """Shared tail: positions -> found/feature indices -> per-read unique
+    compacted hit rows (presence-set semantics)."""
+    r = valid.shape[0]
     lib_size = lib_words[0].shape[0]
     sentinel = 2 * lib_size
-    canon, is_fwd, valid = canonical_window_codes(bases, k)
-
-    if lib_size == 0:
-        found = jnp.zeros(valid.shape, dtype=bool)
-        pos_c = jnp.zeros(valid.shape, dtype=jnp.int32)
-    else:
-        pos = _searchsorted_words(lib_words, canon)
-        pos_c = jnp.clip(pos, 0, lib_size - 1)
-        lib_at = tuple(w[pos_c] for w in lib_words)
-        found = valid & (pos < lib_size) & words_eq(lib_at, canon)
+    pos_c = jnp.clip(pos, 0, max(lib_size - 1, 0))
+    lib_at = tuple(w[pos_c] for w in lib_words)
+    found = valid & (pos < lib_size) & words_eq(lib_at, canon)
     feat = jnp.where(
         found,
         jnp.where(is_fwd, pos_c, pos_c + lib_size),
@@ -106,6 +155,49 @@ def read_hits(
     n_uniq = jnp.sum(uniq, axis=1).astype(jnp.int32)
     n_hits = jnp.minimum(n_uniq, max_hits)
     return hits, n_hits, n_uniq - n_hits
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_hits"))
+def _read_hits_plain(bases, lib_words, k, max_hits):
+    canon, is_fwd, valid = canonical_window_codes(bases, k)
+    if lib_words[0].shape[0] == 0:
+        pos = jnp.zeros(valid.shape, dtype=jnp.int32)
+        valid = jnp.zeros(valid.shape, dtype=bool)
+    else:
+        pos = _searchsorted_words(lib_words, canon)
+    return _hits_from_positions(pos, lib_words, canon, is_fwd, valid, max_hits)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_hits", "bits", "steps"))
+def _read_hits_indexed(bases, lib_words, table, k, max_hits, bits, steps):
+    canon, is_fwd, valid = canonical_window_codes(bases, k)
+    pos = _table_lookup(lib_words, table, canon, k, bits, steps)
+    return _hits_from_positions(pos, lib_words, canon, is_fwd, valid, max_hits)
+
+
+def read_hits(
+    bases: jax.Array,            # (R, L_read) uint8
+    lib,                         # word-plane tuple OR LibraryIndex
+    k: int,
+    max_hits: int,
+):
+    """Forward-scan feature rows for a bucket of reads.
+
+    `lib` is either the uint32 word-plane tuple (plain binary search) or a
+    LibraryIndex (prefix-table fast path).
+
+    Returns:
+      hits      (R, max_hits) int32, sorted ascending, padded with 2L
+      n_hits    (R,) int32 number of real entries (<= max_hits)
+      n_dropped (R,) int32 distinct hits dropped by the max_hits cap
+    """
+    if isinstance(lib, LibraryIndex):
+        if lib.words[0].shape[0] == 0:
+            return _read_hits_plain(bases, lib.words, k, max_hits)
+        return _read_hits_indexed(
+            bases, lib.words, lib.table, k, max_hits, lib.bits, lib.steps
+        )
+    return _read_hits_plain(bases, lib, k, max_hits)
 
 
 @functools.partial(jax.jit, static_argnames=("lib_size",))

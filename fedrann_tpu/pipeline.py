@@ -33,7 +33,7 @@ from fedrann_tpu.io.tsv import write_overlaps_tsv
 from fedrann_tpu.kmers.codec import canonical_window_codes
 from fedrann_tpu.kmers.library_device import build_library_on_device
 from fedrann_tpu.kmers.membership import (
-    library_device_words,
+    build_library_index,
     mirror_hits,
     read_hits,
 )
@@ -63,7 +63,8 @@ def _pad_chunk(chunk: np.ndarray, rows: int, fill) -> np.ndarray:
     if len(chunk) == rows:
         return chunk
     pad_shape = (rows - len(chunk), *chunk.shape[1:])
-    return np.concatenate([chunk, np.full(pad_shape, fill, dtype=chunk.dtype)])
+    from fedrann_tpu.io.packing import full_fast
+    return np.concatenate([chunk, full_fast(pad_shape, fill, chunk.dtype)])
 
 
 def _row_chunks(bucket: PackedBucket, window_batch: int) -> Iterator[np.ndarray]:
@@ -74,6 +75,25 @@ def _row_chunks(bucket: PackedBucket, window_batch: int) -> Iterator[np.ndarray]
     rows = max(8, (window_batch // bucket.bases.shape[1]) // 8 * 8)
     for start in range(0, bucket.bases.shape[0], rows):
         yield _pad_chunk(bucket.bases[start : start + rows], rows, INVALID)
+
+
+def _device_chunks(packed: PackedReads, window_batch: int):
+    """Upload every read chunk to the device ONCE; both the count and the
+    embed stages consume the same device arrays (host->device uploads are
+    not free on tunneled hosts, and bases are the smallest representation).
+    Returns [(device bases (rows, L) uint8, host read_index (rows,))]."""
+    out = []
+    for bucket in packed.buckets:
+        rows = max(8, (window_batch // bucket.bases.shape[1]) // 8 * 8)
+        for start in range(0, bucket.bases.shape[0], rows):
+            from fedrann_tpu.io.packing import INVALID
+
+            chunk = _pad_chunk(bucket.bases[start : start + rows], rows, INVALID)
+            idx = _pad_chunk(
+                bucket.read_index[start : start + rows].reshape(-1, 1), rows, -1
+            ).ravel()
+            out.append((jnp.asarray(chunk), idx))
+    return out
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -89,6 +109,7 @@ def compute_embeddings(
     library: KmerLibrary,
     config: PipelineConfig,
     p_ext: jnp.ndarray,
+    device_chunks=None,
 ) -> tuple[jnp.ndarray, int]:
     """Stage 3: (2R, d) float32 embeddings in global (read0_fwd, read0_rev,
     ...) row order (reference __main__.py:277-282), DEVICE-resident — the
@@ -98,28 +119,23 @@ def compute_embeddings(
     n_reads = packed.n_reads
     d = p_ext.shape[1]
     buf = jnp.zeros((2 * n_reads + 1, d), dtype=jnp.float32)
-    lib_words = library_device_words(library.codes, config.kmer_size)
+    lib_index = build_library_index(library.codes, config.kmer_size)
     dropped_parts = []
-    from fedrann_tpu.io.packing import INVALID
+    if device_chunks is None:
+        device_chunks = _device_chunks(packed, config.window_batch)
 
-    for bucket in packed.buckets:
-        rows = max(8, (config.window_batch // bucket.bases.shape[1]) // 8 * 8)
-        for start in range(0, bucket.bases.shape[0], rows):
-            chunk = _pad_chunk(bucket.bases[start : start + rows], rows, INVALID)
-            idx = _pad_chunk(
-                bucket.read_index[start : start + rows].reshape(-1, 1), rows, -1
-            ).ravel()
-            hits, _, dropped = read_hits(
-                jnp.asarray(chunk), lib_words, config.kmer_size,
-                config.max_hits_per_read,
-            )
-            e_fwd = embed_hits(hits, p_ext)
-            e_rev = embed_hits(mirror_hits(hits, library.size), p_ext)
-            garbage = 2 * n_reads
-            t_fwd = jnp.asarray(np.where(idx >= 0, 2 * idx, garbage))
-            t_rev = jnp.asarray(np.where(idx >= 0, 2 * idx + 1, garbage))
-            buf = _scatter_embeddings(buf, t_fwd, t_rev, e_fwd, e_rev)
-            dropped_parts.append(jnp.sum(dropped))
+    for dev_bases, idx in device_chunks:
+        hits, _, dropped = read_hits(
+            dev_bases, lib_index, config.kmer_size,
+            config.max_hits_per_read,
+        )
+        e_fwd = embed_hits(hits, p_ext)
+        e_rev = embed_hits(mirror_hits(hits, library.size), p_ext)
+        garbage = 2 * n_reads
+        t_fwd = jnp.asarray(np.where(idx >= 0, 2 * idx, garbage))
+        t_rev = jnp.asarray(np.where(idx >= 0, 2 * idx + 1, garbage))
+        buf = _scatter_embeddings(buf, t_fwd, t_rev, e_fwd, e_rev)
+        dropped_parts.append(jnp.sum(dropped))
     total_dropped = int(sum(int(x) for x in jax.device_get(dropped_parts))) \
         if dropped_parts else 0
     if total_dropped:
@@ -150,12 +166,25 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
         sampler.__enter__()
     try:
         with metrics.stage("load"):
-            packed = pack_reads(read_fastx(config.input_path), config.length_buckets)
+            from fedrann_tpu.io import native as native_io
+
+            if native_io.native_available():
+                packed = native_io.pack_reads_native(
+                    config.input_path, config.length_buckets
+                )
+            else:
+                packed = pack_reads(
+                    read_fastx(config.input_path), config.length_buckets
+                )
             logger.info("loaded %d reads into %d buckets",
                         packed.n_reads, len(packed.buckets))
 
+        device_chunks = _device_chunks(packed, config.window_batch)
+
         with metrics.stage("count"):
-            library = _load_or_build_library(packed, config, ckpt_dir)
+            library = _load_or_build_library(
+                packed, config, ckpt_dir, device_chunks
+            )
             logger.info("library: %d canonical k-mers (%d features)",
                         library.size, library.n_features)
 
@@ -168,7 +197,9 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
             )
 
         with metrics.stage("embed"):
-            emb, _ = compute_embeddings(packed, library, config, p_ext)
+            emb, _ = compute_embeddings(
+                packed, library, config, p_ext, device_chunks
+            )
             if ckpt_dir:
                 np.save(os.path.join(ckpt_dir, "embeddings.npy"), np.asarray(emb))
 
@@ -214,7 +245,8 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
 
 
 def _load_or_build_library(
-    packed: PackedReads, config: PipelineConfig, ckpt_dir: Optional[str]
+    packed: PackedReads, config: PipelineConfig, ckpt_dir: Optional[str],
+    device_chunks=None,
 ) -> KmerLibrary:
     """Stage-boundary checkpoint: resume the library if a prior run saved it
     (SURVEY.md §5 checkpoint/resume — absent in the reference)."""
@@ -230,13 +262,12 @@ def _load_or_build_library(
 
     # canonical windows per chunk stay on device; the sampled library is the
     # only k-mer artifact that ever reaches the host
-    canon_chunks = []
-    for bucket in packed.buckets:
-        for chunk in _row_chunks(bucket, config.window_batch):
-            canon, _, _ = canonical_window_codes(
-                jnp.asarray(chunk), config.kmer_size
-            )
-            canon_chunks.append(canon)
+    if device_chunks is None:
+        device_chunks = _device_chunks(packed, config.window_batch)
+    canon_chunks = [
+        canonical_window_codes(dev_bases, config.kmer_size)[0]
+        for dev_bases, _ in device_chunks
+    ]
     library = build_library_on_device(
         canon_chunks, config.kmer_size, config.kmer_min_multiplicity,
         config.kmer_sample_fraction, config.seed,

@@ -1,0 +1,211 @@
+// Native FASTX parser + 2-bit base encoder.
+//
+// TPU-native counterpart of the reference's host-side C++ (the
+// kmer_searcher's producer thread, kmer_searcher.cpp:153-201, and the
+// pigz/seqkit decompression/conversion subprocesses, fastx_io.py:186-227):
+// all k-mer math happens on the TPU, so the only native work left is
+// feeding bases to the device as fast as the disk allows. This library
+// parses FASTA/FASTQ (plain or gzip via zlib), encodes A/C/G/T -> 0..3
+// (case-insensitive, anything else -> 4, matching
+// fedrann_tpu/io/packing.py), and returns contiguous buffers that numpy
+// wraps zero-copy through ctypes.
+//
+// C ABI only — no pybind11 in this toolchain.
+
+#include <zlib.h>
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Buffers {
+  std::vector<uint8_t> codes;       // concatenated base codes
+  std::vector<uint64_t> offsets;    // n_reads + 1 offsets into codes
+  std::vector<char> names;          // concatenated NUL-terminated names
+  std::vector<uint64_t> name_offsets;  // n_reads offsets into names
+};
+
+uint8_t g_lut[256];
+
+void init_lut() {
+  static bool done = false;
+  if (done) return;
+  memset(g_lut, 4, sizeof(g_lut));
+  g_lut[(unsigned)'A'] = g_lut[(unsigned)'a'] = 0;
+  g_lut[(unsigned)'C'] = g_lut[(unsigned)'c'] = 1;
+  g_lut[(unsigned)'G'] = g_lut[(unsigned)'g'] = 2;
+  g_lut[(unsigned)'T'] = g_lut[(unsigned)'t'] = 3;
+  done = true;
+}
+
+// Line-oriented reader over gzFile (zlib transparently handles plain files).
+class LineReader {
+ public:
+  explicit LineReader(const char* path) : f_(gzopen(path, "rb")) {
+    if (f_) gzbuffer(f_, 1 << 20);
+  }
+  ~LineReader() {
+    if (f_) gzclose(f_);
+  }
+  bool ok() const { return f_ != nullptr; }
+
+  // Returns false at EOF. Strips trailing \r\n.
+  bool next_line(std::string* out) {
+    out->clear();
+    char buf[1 << 16];
+    for (;;) {
+      if (gzgets(f_, buf, sizeof(buf)) == nullptr) return !out->empty();
+      size_t n = strlen(buf);
+      out->append(buf, n);
+      if (n > 0 && buf[n - 1] == '\n') break;  // got full line
+    }
+    while (!out->empty() && (out->back() == '\n' || out->back() == '\r'))
+      out->pop_back();
+    return true;
+  }
+
+ private:
+  gzFile f_;
+};
+
+void append_name(Buffers* b, const std::string& header) {
+  // name = first whitespace-separated token after the marker char
+  size_t start = 1, end = start;
+  while (end < header.size() && header[end] != ' ' && header[end] != '\t')
+    ++end;
+  b->name_offsets.push_back(b->names.size());
+  b->names.insert(b->names.end(), header.begin() + start, header.begin() + end);
+  b->names.push_back('\0');
+}
+
+void append_seq(Buffers* b, const std::string& seq) {
+  size_t base = b->codes.size();
+  b->codes.resize(base + seq.size());
+  const unsigned char* src = (const unsigned char*)seq.data();
+  uint8_t* dst = b->codes.data() + base;
+  for (size_t i = 0; i < seq.size(); ++i) dst[i] = g_lut[src[i]];
+}
+
+// returns 0 ok, negative error
+int parse(const char* path, Buffers* b) {
+  init_lut();
+  LineReader reader(path);
+  if (!reader.ok()) return -1;
+
+  std::string line;
+  // skip leading blank lines, sniff format from first marker char
+  do {
+    if (!reader.next_line(&line)) return -2;  // empty input
+  } while (line.empty());
+
+  b->offsets.push_back(0);
+  if (line[0] == '>') {  // FASTA (multi-line sequences)
+    std::string header = line;
+    std::string seq;
+    for (;;) {
+      append_name(b, header);
+      seq.clear();
+      bool eof = false;
+      for (;;) {
+        if (!reader.next_line(&line)) {
+          eof = true;
+          break;
+        }
+        if (line.empty()) continue;
+        if (line[0] == '>') break;
+        seq += line;
+      }
+      append_seq(b, seq);
+      b->offsets.push_back(b->codes.size());
+      if (eof) break;
+      header = line;
+    }
+  } else if (line[0] == '@') {  // FASTQ (4-line records)
+    for (;;) {
+      if (line.empty()) {
+        if (!reader.next_line(&line)) break;
+        continue;
+      }
+      if (line[0] != '@') return -3;
+      append_name(b, line);
+      std::string seq;
+      if (!reader.next_line(&seq)) return -4;      // sequence
+      if (!reader.next_line(&line)) return -4;     // '+'
+      if (!reader.next_line(&line)) return -4;     // quality
+      append_seq(b, seq);
+      b->offsets.push_back(b->codes.size());
+      if (!reader.next_line(&line)) break;         // next header
+    }
+  } else {
+    return -3;  // unknown format
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+struct FastxParsed {
+  uint8_t* codes;
+  uint64_t* offsets;       // n_reads + 1
+  char* names;             // concatenated, NUL-separated
+  uint64_t* name_offsets;  // n_reads
+  uint64_t n_reads;
+  uint64_t total_bases;
+  uint64_t names_bytes;
+};
+
+// Returns 0 on success; fills *out. Free with fastx_free.
+int fastx_parse(const char* path, FastxParsed* out) {
+  Buffers b;
+  int rc = parse(path, &b);
+  if (rc != 0) return rc;
+  out->n_reads = b.offsets.size() - 1;
+  out->total_bases = b.codes.size();
+  out->names_bytes = b.names.size();
+
+  out->codes = (uint8_t*)malloc(b.codes.size() ? b.codes.size() : 1);
+  memcpy(out->codes, b.codes.data(), b.codes.size());
+  out->offsets = (uint64_t*)malloc(b.offsets.size() * sizeof(uint64_t));
+  memcpy(out->offsets, b.offsets.data(), b.offsets.size() * sizeof(uint64_t));
+  out->names = (char*)malloc(b.names.size() ? b.names.size() : 1);
+  memcpy(out->names, b.names.data(), b.names.size());
+  out->name_offsets =
+      (uint64_t*)malloc((out->n_reads ? out->n_reads : 1) * sizeof(uint64_t));
+  memcpy(out->name_offsets, b.name_offsets.data(),
+         out->n_reads * sizeof(uint64_t));
+  return 0;
+}
+
+// Fill a padded bucket matrix: out[i, :len_i] = codes[offsets[rows[i]] ...],
+// rest untouched (caller pre-fills with the INVALID code). Plain memcpy per
+// read — the host VMs this runs on have poor vectorized-numpy throughput.
+void fastx_fill_bucket(const uint8_t* codes, const uint64_t* offsets,
+                       const int32_t* rows, uint64_t n_rows,
+                       uint64_t bucket_len, uint8_t* out) {
+  for (uint64_t i = 0; i < n_rows; ++i) {
+    uint64_t r = (uint64_t)rows[i];
+    uint64_t len = offsets[r + 1] - offsets[r];
+    if (len > bucket_len) len = bucket_len;
+    memcpy(out + i * bucket_len, codes + offsets[r], len);
+  }
+}
+
+void fastx_free(FastxParsed* p) {
+  free(p->codes);
+  free(p->offsets);
+  free(p->names);
+  free(p->name_offsets);
+  p->codes = nullptr;
+  p->offsets = nullptr;
+  p->names = nullptr;
+  p->name_offsets = nullptr;
+}
+
+}  // extern "C"

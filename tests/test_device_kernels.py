@@ -232,3 +232,26 @@ def test_knn_bf16_close_to_fp32():
     assert np.allclose(d16, d32, atol=2e-2)
     agree = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(idx16, idx32)])
     assert agree > 0.9
+
+
+@pytest.mark.parametrize("k", [13, 21])
+def test_read_hits_indexed_matches_plain(k):
+    """Prefix-table fast path must agree exactly with the plain search."""
+    from fedrann_tpu.kmers.membership import build_library_index
+
+    sim = simulate_reads(genome_length=6000, coverage=5, mean_read_length=800,
+                         seed=8)
+    lib = _mk_library(sim, k)
+    packed = pack_reads(
+        [FastxRecord(n, s) for n, s in zip(sim.names, sim.sequences)],
+        length_buckets=(2048,),
+    )
+    bases = jnp.asarray(packed.buckets[0].bases)
+    index = build_library_index(lib.codes, k)
+    h_fast, n_fast, d_fast = read_hits(bases, index, k, max_hits=2048)
+    h_plain, n_plain, d_plain = read_hits(
+        bases, library_device_words(lib.codes, k), k, max_hits=2048
+    )
+    assert np.array_equal(np.asarray(h_fast), np.asarray(h_plain))
+    assert np.array_equal(np.asarray(n_fast), np.asarray(n_plain))
+    assert np.array_equal(np.asarray(d_fast), np.asarray(d_plain))

@@ -1,0 +1,71 @@
+"""Native C++ FASTX parser vs the pure-Python reader (the oracle)."""
+
+import gzip
+import subprocess
+
+import numpy as np
+import pytest
+
+from fedrann_tpu.io import native
+from fedrann_tpu.io.fastx import read_fastx
+from fedrann_tpu.io.packing import encode_bases, pack_reads
+from fedrann_tpu.sim import simulate_reads, write_fasta
+
+pytestmark = pytest.mark.skipif(
+    not native.native_available(), reason="native library not built"
+)
+
+
+def _check_file(path):
+    py = list(read_fastx(path))
+    names, codes, offsets = native.parse_fastx_native(path)
+    assert names == [r.name for r in py]
+    assert len(offsets) == len(py) + 1
+    for i, rec in enumerate(py):
+        got = codes[offsets[i] : offsets[i + 1]]
+        assert np.array_equal(got, encode_bases(rec.sequence)), rec.name
+
+
+def test_native_fasta_plain(tmp_path):
+    p = tmp_path / "x.fasta"
+    p.write_text(">r1 desc\nACGT\nacgtN\n>r2\nTTTTX\n>empty\n>r3\nGG\n")
+    _check_file(str(p))
+
+
+def test_native_fastq_gz(tmp_path):
+    p = tmp_path / "x.fastq.gz"
+    with gzip.open(p, "wt") as f:
+        for i in range(50):
+            f.write(f"@read{i} extra stuff\nACGTACGTN\n+\nIIIIIIIII\n")
+    _check_file(str(p))
+
+
+def test_native_large_roundtrip(tmp_path):
+    sim = simulate_reads(genome_length=30000, coverage=5,
+                         mean_read_length=2000, error_rate=0.03, seed=44)
+    path = str(tmp_path / "reads.fasta.gz")
+    write_fasta(path, sim.names, sim.sequences)
+    _check_file(path)
+
+
+def test_native_pack_matches_python(tmp_path):
+    sim = simulate_reads(genome_length=20000, coverage=4,
+                         mean_read_length=1500, seed=45)
+    path = str(tmp_path / "reads.fasta")
+    write_fasta(path, sim.names, sim.sequences)
+    pk_native = native.pack_reads_native(path, (1024, 4096))
+    pk_py = pack_reads(read_fastx(path), (1024, 4096))
+    assert pk_native.names == pk_py.names
+    assert pk_native.n_truncated == pk_py.n_truncated
+    assert len(pk_native.buckets) == len(pk_py.buckets)
+    for bn, bp in zip(pk_native.buckets, pk_py.buckets):
+        assert np.array_equal(bn.bases, bp.bases)
+        assert np.array_equal(bn.lengths, bp.lengths)
+        assert np.array_equal(bn.read_index, bp.read_index)
+
+
+def test_native_bad_file(tmp_path):
+    p = tmp_path / "bad.txt"
+    p.write_text("not a fastx\n")
+    with pytest.raises(ValueError):
+        native.parse_fastx_native(str(p))
