@@ -65,10 +65,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--knn-precision", choices=("bf16", "fp32"), default="bf16",
                    help="Distance-matmul precision (fp32 accumulation either way).")
     p.add_argument("--knn-query-tile", type=int, default=1024)
+    p.add_argument("--knn-candidate-tile", type=int, default=8192)
+    p.add_argument("--knn-topk-method", choices=("exact", "approx"),
+                   default="exact",
+                   help="Block-level top-k selection (approx = TPU "
+                        "approx_max_k at 0.99 per-block recall).")
     p.add_argument("--knn-shard-strategy", choices=("allgather", "ring"),
                    default="ring", help="Candidate movement across chips.")
     p.add_argument("--length-buckets", type=str, default="4096,16384,65536,262144",
                    help="Comma-separated padded read-length buckets.")
+    p.add_argument("--profile", action="store_true",
+                   help="Write a jax.profiler trace to <output-dir>/trace.")
     p.add_argument("--log-level", default="INFO")
     return p
 
@@ -96,8 +103,11 @@ def config_from_args(argv: list[str] | None = None) -> PipelineConfig:
         max_hits_per_read=args.max_hits_per_read,
         knn_precision=args.knn_precision,
         knn_query_tile=args.knn_query_tile,
+        knn_candidate_tile=args.knn_candidate_tile,
+        knn_topk_method=args.knn_topk_method,
         knn_shard_strategy=args.knn_shard_strategy,
         length_buckets=tuple(int(x) for x in args.length_buckets.split(",")),
+        profile=args.profile,
         log_level=args.log_level,
     )
 

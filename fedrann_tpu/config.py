@@ -61,6 +61,17 @@ class PipelineConfig:
     knn_precision: str = "bf16"
     # "allgather" (small N) or "ring" (ppermute streaming) candidate movement.
     knn_shard_strategy: str = "ring"
+    # Block-level top-k selection: "exact" (lax.top_k) or "approx"
+    # (lax.approx_max_k, the TPU-KNN peak-FLOP/s selection; final merge
+    # stays exact).
+    knn_topk_method: str = "exact"
+    # "auto": shard the k-NN over all devices when more than one is visible;
+    # "never": single-device; "always": require a mesh (error if 1 device).
+    knn_sharded: str = "auto"
+    # Write a jax.profiler trace (XPlane, viewable in TensorBoard /
+    # xprof) to <output_dir>/trace. Replaces the reference's
+    # memory-profiler-only story (SURVEY.md §5 tracing).
+    profile: bool = False
     # Stage-boundary checkpoint directory (inside output_dir) or None.
     checkpoint: bool = False
     # Mesh shape for multi-chip runs; None = all local devices on one axis.
@@ -82,3 +93,7 @@ class PipelineConfig:
             raise ValueError("knn_precision must be 'bf16' or 'fp32'")
         if self.knn_shard_strategy not in ("allgather", "ring"):
             raise ValueError("knn_shard_strategy must be 'allgather' or 'ring'")
+        if self.knn_sharded not in ("auto", "never", "always"):
+            raise ValueError("knn_sharded must be 'auto', 'never', or 'always'")
+        if self.knn_topk_method not in ("exact", "approx"):
+            raise ValueError("knn_topk_method must be 'exact' or 'approx'")

@@ -27,7 +27,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from fedrann_tpu.knn.topk import normalize_rows
-from fedrann_tpu.parallel.mesh import DATA_AXIS, make_mesh, pad_rows_to_multiple
+from fedrann_tpu.parallel.mesh import DATA_AXIS, make_mesh
 
 
 def _merge_topk(run_dist, run_idx, new_dist, new_idx, k):
@@ -109,7 +109,12 @@ def knn_exact_sharded(
     n_dev = mesh.devices.size
     n = embeddings.shape[0]
     k = min(n_neighbors, n)
-    padded, _ = pad_rows_to_multiple(np.asarray(embeddings), n_dev)
+    padded = jnp.asarray(embeddings)
+    pad = (-n) % n_dev
+    if pad:
+        padded = jnp.concatenate(
+            [padded, jnp.zeros((pad, padded.shape[1]), padded.dtype)]
+        )
 
     body = _ring_body if strategy == "ring" else _allgather_body
     kernel = shard_map(
@@ -126,8 +131,6 @@ def knn_exact_sharded(
         dist, idx = kernel(en)
         return dist, idx
 
-    sharded = jax.device_put(
-        jnp.asarray(padded), NamedSharding(mesh, P(DATA_AXIS, None))
-    )
+    sharded = jax.device_put(padded, NamedSharding(mesh, P(DATA_AXIS, None)))
     dist, idx = run(sharded)
     return np.asarray(idx)[:n], np.asarray(dist)[:n]

@@ -32,23 +32,66 @@ def normalize_rows(e: jax.Array) -> jax.Array:
     return e / jnp.where(norm == 0, 1.0, norm)
 
 
-@functools.partial(jax.jit, static_argnames=("n_neighbors", "query_tile", "precision"))
-def _knn_tiles(en: jax.Array, n_neighbors: int, query_tile: int, precision: str):
-    n, _ = en.shape
-    pad = (-n) % query_tile
-    q = jnp.concatenate([en, jnp.zeros((pad, en.shape[1]), en.dtype)]) if pad else en
-    cand = en.astype(jnp.bfloat16) if precision == "bf16" else en
-    tiles = q.reshape(-1, query_tile, en.shape[1])
+def _topk_scores(scores, k, method: str):
+    """Largest-k selection per row; 'approx' uses the TPU PartialReduce
+    approx_max_k (TPU-KNN, arxiv 2206.14286) with a 0.99 per-call recall
+    target — at peak MXU throughput the selection, not the matmul, is the
+    bottleneck, and approximate selection restores it."""
+    if method == "approx" and scores.shape[1] > 4 * k:
+        return jax.lax.approx_max_k(scores, k, recall_target=0.99)
+    return jax.lax.top_k(scores, k)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_neighbors", "query_tile", "candidate_tile",
+                     "precision", "method"),
+)
+def _knn_tiles(en: jax.Array, n_neighbors: int, query_tile: int,
+               candidate_tile: int, precision: str, method: str):
+    """Query tiles x candidate blocks with a running top-k: the full
+    (tile, N) score matrix never materializes, so the search scales to any
+    N the embeddings themselves fit."""
+    n, d = en.shape
+    pad_q = (-n) % query_tile
+    q = jnp.concatenate([en, jnp.zeros((pad_q, d), en.dtype)]) if pad_q else en
+    pad_c = (-n) % candidate_tile
+    cand = jnp.concatenate([en, jnp.zeros((pad_c, d), en.dtype)]) if pad_c else en
+    cand = cand.astype(jnp.bfloat16) if precision == "bf16" else cand
+    n_cand = cand.shape[0]
+    n_blocks = n_cand // candidate_tile
+    blocks = cand.reshape(n_blocks, candidate_tile, d)
+    tiles = q.reshape(-1, query_tile, d)
 
     def per_tile(tile):
         tq = tile.astype(cand.dtype)
-        scores = jax.lax.dot_general(
-            tq, cand,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+
+        def scan_block(carry, inp):
+            run_scores, run_idx = carry
+            block, base = inp
+            scores = jax.lax.dot_general(
+                tq, block,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            cols = base + jax.lax.broadcasted_iota(
+                jnp.int32, scores.shape, 1
+            )
+            scores = jnp.where(cols >= n, -jnp.inf, scores)
+            bs, bi = _topk_scores(scores, n_neighbors, method)
+            bidx = jnp.take_along_axis(cols, bi.astype(jnp.int32), axis=1)
+            merged = jnp.concatenate([run_scores, bs], axis=1)
+            merged_idx = jnp.concatenate([run_idx, bidx], axis=1)
+            ts, ti = jax.lax.top_k(merged, n_neighbors)
+            return (ts, jnp.take_along_axis(merged_idx, ti, axis=1)), None
+
+        init = (
+            jnp.full((query_tile, n_neighbors), -jnp.inf, jnp.float32),
+            jnp.full((query_tile, n_neighbors), -1, jnp.int32),
         )
-        top_scores, top_idx = jax.lax.top_k(scores, n_neighbors)
-        return top_scores, top_idx.astype(jnp.int32)
+        bases = jnp.arange(n_blocks, dtype=jnp.int32) * candidate_tile
+        (scores, idx), _ = jax.lax.scan(scan_block, init, (blocks, bases))
+        return scores, idx
 
     scores, idx = jax.lax.map(per_tile, tiles)
     scores = scores.reshape(-1, n_neighbors)[:n]
@@ -60,12 +103,18 @@ def knn_exact(
     embeddings: jax.Array,
     n_neighbors: int,
     query_tile: int = 1024,
+    candidate_tile: int = 8192,
     precision: str = "bf16",
+    method: str = "exact",
 ) -> tuple[np.ndarray, np.ndarray]:
     """(N, d) embeddings -> (indices (N, k) int32, distances (N, k) float32),
-    sorted ascending by distance, k = min(n_neighbors, N)."""
+    sorted ascending by distance, k = min(n_neighbors, N). method='approx'
+    switches block-level selection to approx_max_k (exact final merge)."""
     n = embeddings.shape[0]
     k = min(n_neighbors, n)
     en = normalize_rows(jnp.asarray(embeddings))
-    dist, idx = _knn_tiles(en, k, min(query_tile, max(8, n)), precision)
+    dist, idx = _knn_tiles(
+        en, k, min(query_tile, max(8, n)), min(candidate_tile, max(8, n)),
+        precision, method,
+    )
     return np.asarray(idx), np.asarray(dist)

@@ -162,6 +162,10 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
     if ckpt_dir:
         os.makedirs(ckpt_dir, exist_ok=True)
 
+    profiler_ctx = None
+    if config.profile and out_dir:
+        profiler_ctx = jax.profiler.trace(os.path.join(out_dir, "trace"))
+        profiler_ctx.__enter__()
     if sampler:
         sampler.__enter__()
     try:
@@ -204,11 +208,29 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                 np.save(os.path.join(ckpt_dir, "embeddings.npy"), np.asarray(emb))
 
         with metrics.stage("knn"):
-            idx, dist = knn_exact(
-                emb, config.n_neighbors,
-                query_tile=config.knn_query_tile,
-                precision=config.knn_precision,
-            )
+            n_dev = len(jax.devices())
+            use_mesh = (config.knn_sharded == "always"
+                        or (config.knn_sharded == "auto" and n_dev > 1))
+            if use_mesh:
+                from fedrann_tpu.knn.ring import knn_exact_sharded
+                from fedrann_tpu.parallel.mesh import make_mesh
+
+                mesh = make_mesh(config.mesh_shape)
+                logger.info("k-NN sharded over %d devices (%s)",
+                            mesh.devices.size, config.knn_shard_strategy)
+                idx, dist = knn_exact_sharded(
+                    emb, config.n_neighbors, mesh=mesh,
+                    strategy=config.knn_shard_strategy,
+                    precision=config.knn_precision,
+                )
+            else:
+                idx, dist = knn_exact(
+                    emb, config.n_neighbors,
+                    query_tile=config.knn_query_tile,
+                    candidate_tile=config.knn_candidate_tile,
+                    precision=config.knn_precision,
+                    method=config.knn_topk_method,
+                )
 
         with metrics.stage("output"):
             overlaps_path = None
@@ -228,6 +250,8 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
     finally:
         if sampler:
             sampler.__exit__(None, None, None)
+        if profiler_ctx is not None:
+            profiler_ctx.__exit__(None, None, None)
 
     if out_dir:
         with open(os.path.join(out_dir, "metrics.json"), "w") as f:

@@ -1,0 +1,96 @@
+import numpy as np
+import pytest
+
+from fedrann_tpu import oracle
+from fedrann_tpu.compat import load_reference_library, load_reference_precompute
+from fedrann_tpu.eval import OverlapTable, neighbor_recall, truth_recall
+
+
+def _write_overlaps(path, rows):
+    with open(path, "w") as f:
+        f.write("query_name\tquery_orientation\ttarget_name\ttarget_orientation"
+                "\tneighbor_rank\tdistance\n")
+        for r in rows:
+            f.write("\t".join(map(str, r)) + "\n")
+
+
+def test_neighbor_recall_identical(tmp_path):
+    rows = [
+        ("r0", "+", "r1", "-", 1, 0.1),
+        ("r0", "+", "r2", "+", 2, 0.2),
+        ("r1", "-", "r0", "+", 1, 0.1),
+    ]
+    a = tmp_path / "a.tsv"
+    _write_overlaps(a, rows)
+    t = OverlapTable.read(str(a))
+    rep = neighbor_recall(t, t)
+    assert rep.recall_at_k == 1.0
+    assert rep.query_coverage == 1.0
+    assert rep.distance_mae == 0.0
+
+
+def test_neighbor_recall_partial(tmp_path):
+    ref_rows = [
+        ("r0", "+", "r1", "-", 1, 0.1),
+        ("r0", "+", "r2", "+", 2, 0.2),
+    ]
+    cand_rows = [
+        ("r0", "+", "r1", "-", 1, 0.15),
+        ("r0", "+", "r9", "+", 2, 0.2),
+    ]
+    a, b = tmp_path / "a.tsv", tmp_path / "b.tsv"
+    _write_overlaps(a, ref_rows)
+    _write_overlaps(b, cand_rows)
+    rep = neighbor_recall(OverlapTable.read(str(a)), OverlapTable.read(str(b)))
+    assert rep.recall_at_k == pytest.approx(0.5)
+    assert rep.distance_mae == pytest.approx(0.05)
+    # orientation-insensitive matching
+    cand2 = [("r0", "+", "r1", "+", 1, 0.1), ("r0", "+", "r2", "-", 2, 0.2)]
+    c = tmp_path / "c.tsv"
+    _write_overlaps(c, cand2)
+    rep2 = neighbor_recall(OverlapTable.read(str(a)), OverlapTable.read(str(c)),
+                           match_orientation=False)
+    assert rep2.recall_at_k == 1.0
+
+
+def test_overlap_table_bad_header(tmp_path):
+    p = tmp_path / "bad.tsv"
+    p.write_text("a\tb\n")
+    with pytest.raises(ValueError):
+        OverlapTable.read(str(p))
+
+
+def test_truth_recall():
+    # 3 reads (6 rows); read0 <-> read1 linked, read2 isolated
+    idx = np.array([
+        [0, 2], [1, 3], [2, 0], [3, 1], [4, 5], [5, 4],
+    ])
+    assert truth_recall(idx, {(0, 1)}, 3) == 1.0
+    assert truth_recall(idx, {(0, 1), (0, 2)}, 3) == 0.5
+
+
+def test_load_reference_library(tmp_path):
+    """jellyfish-dump format: >count then the canonical k-mer."""
+    p = tmp_path / "lib.fasta"
+    p.write_text(">5\nACGTA\n>2\nAAAAA\n>9\nTTT\n")  # TTT wrong length: skipped
+    lib = load_reference_library(str(p), k=5)
+    assert lib.size == 2
+    assert np.all(np.diff(lib.codes.astype(np.int64)) > 0)
+    code_aaaaa = oracle.kmer_code(
+        np.zeros(5, dtype=np.uint8), 5
+    )[0]
+    assert lib.codes[0] == code_aaaaa
+    assert lib.counts[0] == 2  # AAAAA's count
+
+
+def test_load_reference_precompute(tmp_path):
+    import scipy.sparse as sp
+
+    m = sp.random(20, 8, density=0.3, format="csr", dtype=np.float32,
+                  random_state=0)
+    path = tmp_path / "p.npz"
+    sp.save_npz(path, m)
+    p = load_reference_precompute(str(path))
+    assert p.shape == (21, 8)
+    assert np.allclose(p[:20], m.toarray())
+    assert np.all(p[20] == 0)

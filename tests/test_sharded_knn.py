@@ -50,3 +50,27 @@ def test_mesh_smaller_than_devices():
                                       precision="fp32")
     idx_1, dist_1 = knn_exact(e, 4, precision="fp32")
     assert np.allclose(dist_s, dist_1, atol=1e-4)
+
+
+def test_knn_blocked_candidate_tiles_match():
+    """Candidate-blocked scan must equal the one-shot search, any tiling."""
+    rng = np.random.default_rng(40)
+    e = rng.normal(size=(300, 32)).astype(np.float32)
+    base_i, base_d = knn_exact(e, 7, query_tile=300, candidate_tile=300,
+                               precision="fp32")
+    for ct in (16, 64, 128):
+        i2, d2 = knn_exact(e, 7, query_tile=50, candidate_tile=ct,
+                           precision="fp32")
+        assert np.allclose(d2, base_d, atol=1e-5)
+        agree = np.mean([len(set(a) & set(b)) / 7 for a, b in zip(i2, base_i)])
+        assert agree > 0.98
+
+
+def test_knn_approx_method():
+    rng = np.random.default_rng(41)
+    e = rng.normal(size=(512, 64)).astype(np.float32)
+    ei, ed = knn_exact(e, 10, precision="fp32", method="exact")
+    ai, ad = knn_exact(e, 10, precision="fp32", method="approx",
+                       candidate_tile=128)
+    agree = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(ai, ei)])
+    assert agree > 0.9
