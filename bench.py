@@ -63,11 +63,18 @@ def main() -> int:
               f"(stages: { {k: round(v['seconds'], 2) for k, v in result.metrics.items()} })",
               file=sys.stderr)
 
-    # CPU-oracle baseline on a subset, extrapolated linearly in read count
-    # (library build + embedding are linear; exact knn is quadratic, so this
-    # favors the baseline — the ratio reported is conservative the other way
-    # for large N).
-    sub = sim.sequences[:baseline_reads]
+    # CPU-oracle baseline on a SMALLER dataset with the SAME coverage (a
+    # read subset of the big run would have ~1/50th the coverage, emptying
+    # the multiplicity-filtered library and making per-read work
+    # incomparable). Linear extrapolation in read count; library build +
+    # embedding are linear, exact knn quadratic, so the ratio is
+    # conservative in the baseline's favor at large N.
+    base_genome = max(50_000, genome * baseline_reads // max(n_reads, 1))
+    base_sim = simulate_reads(
+        genome_length=base_genome, coverage=coverage,
+        mean_read_length=read_len, error_rate=0.05, seed=1234,
+    )
+    sub = base_sim.sequences
     t0 = time.perf_counter()
     oracle.run_oracle_pipeline(
         sub, k=15, sample_fraction=0.05, min_multiplicity=2,

@@ -32,21 +32,38 @@ def write_overlaps_tsv(
     neighbor_indices: np.ndarray,  # (2R, k) int
     neighbor_distances: np.ndarray,  # (2R, k) float
 ) -> int:
-    """Stream the overlap table; returns number of data rows written."""
+    """Write the overlap table (vectorized via pandas when available — at
+    pod scale this is millions of rows); returns data rows written."""
     out.write(HEADER)
-    n_rows = 0
     indices = np.asarray(neighbor_indices)
     distances = np.asarray(neighbor_distances)
-    for q in range(indices.shape[0]):
-        q_name = names[q // 2]
-        q_orient = _orientation(q)
-        for rank, (t, d) in enumerate(zip(indices[q], distances[q])):
-            t = int(t)
-            if t == q or t < 0:
-                continue
+    n, k = indices.shape
+    rows = np.arange(n)[:, None]
+    keep = (indices != rows) & (indices >= 0)
+    q_rows = np.broadcast_to(rows, indices.shape)[keep]
+    t_rows = indices[keep]
+    ranks = np.broadcast_to(np.arange(k)[None, :], indices.shape)[keep]
+    dists = distances[keep]
+    name_arr = np.asarray(names, dtype=object)
+    orient = np.array(["+", "-"], dtype=object)
+    try:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "query_name": name_arr[q_rows // 2],
+                "query_orientation": orient[q_rows % 2],
+                "target_name": name_arr[t_rows // 2],
+                "target_orientation": orient[t_rows % 2],
+                "neighbor_rank": ranks,
+                "distance": dists,
+            }
+        )
+        df.to_csv(out, sep="\t", header=False, index=False)
+    except ImportError:
+        for q, t, r, d in zip(q_rows, t_rows, ranks, dists):
             out.write(
-                f"{q_name}\t{q_orient}\t{names[t // 2]}\t{_orientation(t)}"
-                f"\t{rank}\t{float(d)}\n"
+                f"{name_arr[q // 2]}\t{orient[q % 2]}\t{name_arr[t // 2]}"
+                f"\t{orient[t % 2]}\t{r}\t{float(d)}\n"
             )
-            n_rows += 1
-    return n_rows
+    return int(keep.sum())

@@ -32,16 +32,12 @@ from fedrann_tpu.io.packing import PackedBucket, PackedReads, pack_reads
 from fedrann_tpu.io.tsv import write_overlaps_tsv
 from fedrann_tpu.kmers.codec import canonical_window_codes
 from fedrann_tpu.kmers.library_device import build_library_on_device
-from fedrann_tpu.kmers.membership import (
-    build_library_index,
-    mirror_hits,
-    read_hits,
-)
+from fedrann_tpu.kmers.membership import build_library_index, read_hits
 from fedrann_tpu.knn.topk import knn_exact
 from fedrann_tpu.logging_utils import add_log_file, logger, set_logging_level
 from fedrann_tpu.metrics import MemorySampler, StageMetrics
 from fedrann_tpu.oracle import KmerLibrary
-from fedrann_tpu.project.embed import embed_hits
+from fedrann_tpu.project.embed import embed_hits_pair, swap_halves
 from fedrann_tpu.project.srp import build_precompute
 
 
@@ -120,6 +116,7 @@ def compute_embeddings(
     d = p_ext.shape[1]
     buf = jnp.zeros((2 * n_reads + 1, d), dtype=jnp.float32)
     lib_index = build_library_index(library.codes, config.kmer_size)
+    p_swapped = swap_halves(p_ext, library.size)
     dropped_parts = []
     if device_chunks is None:
         device_chunks = _device_chunks(packed, config.window_batch)
@@ -129,8 +126,7 @@ def compute_embeddings(
             dev_bases, lib_index, config.kmer_size,
             config.max_hits_per_read,
         )
-        e_fwd = embed_hits(hits, p_ext)
-        e_rev = embed_hits(mirror_hits(hits, library.size), p_ext)
+        e_fwd, e_rev = embed_hits_pair(hits, p_ext, p_swapped)
         garbage = 2 * n_reads
         t_fwd = jnp.asarray(np.where(idx >= 0, 2 * idx, garbage))
         t_rev = jnp.asarray(np.where(idx >= 0, 2 * idx + 1, garbage))

@@ -19,6 +19,46 @@ import jax
 import jax.numpy as jnp
 
 
+@functools.partial(jax.jit, static_argnames=("lib_size",))
+def swap_halves(p_ext: jax.Array, lib_size: int) -> jax.Array:
+    """P with the fwd/rev feature halves exchanged. Because the
+    reverse-complement row mirrors indices i <-> i+L (membership.mirror_hits),
+    E_rev[r] = sum_{f in hits} P[mirror(f)] = sum_{f in hits} P_swapped[f]:
+    the rev embedding reuses the FORWARD hit rows directly — no second sort,
+    and both orientations share one gather pass (embed_hits_pair)."""
+    return jnp.concatenate(
+        [p_ext[lib_size : 2 * lib_size], p_ext[:lib_size], p_ext[2 * lib_size :]]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("hit_chunk",))
+def embed_hits_pair(
+    hits: jax.Array, p_ext: jax.Array, p_swapped: jax.Array,
+    hit_chunk: int = 128,
+) -> tuple[jax.Array, jax.Array]:
+    """(fwd, rev) embeddings from one pass over the forward hit rows."""
+    r, h = hits.shape
+    d = p_ext.shape[1]
+    pad = (-h) % hit_chunk
+    if pad:
+        sentinel = p_ext.shape[0] - 1
+        hits = jnp.concatenate(
+            [hits, jnp.full((r, pad), sentinel, dtype=hits.dtype)], axis=1
+        )
+    n_chunks = hits.shape[1] // hit_chunk
+    blocks = hits.reshape(r, n_chunks, hit_chunk).transpose(1, 0, 2)
+
+    def body(carry, block):
+        acc_f, acc_r = carry
+        acc_f = acc_f + jnp.take(p_ext, block, axis=0).sum(axis=1)
+        acc_r = acc_r + jnp.take(p_swapped, block, axis=0).sum(axis=1)
+        return (acc_f, acc_r), None
+
+    init = (jnp.zeros((r, d), jnp.float32), jnp.zeros((r, d), jnp.float32))
+    (acc_f, acc_r), _ = jax.lax.scan(body, init, blocks)
+    return acc_f, acc_r
+
+
 @functools.partial(jax.jit, static_argnames=("hit_chunk",))
 def embed_hits(hits: jax.Array, p_ext: jax.Array, hit_chunk: int = 128) -> jax.Array:
     """hits (R, H) int32 feature indices (sentinel-padded), p_ext (2L+1, d)

@@ -255,3 +255,27 @@ def test_read_hits_indexed_matches_plain(k):
     assert np.array_equal(np.asarray(h_fast), np.asarray(h_plain))
     assert np.array_equal(np.asarray(n_fast), np.asarray(n_plain))
     assert np.array_equal(np.asarray(d_fast), np.asarray(d_plain))
+
+
+def test_embed_hits_pair_matches_mirror_path():
+    """swap_halves + shared gather must equal mirror_hits + second embed."""
+    from fedrann_tpu.project.embed import embed_hits_pair, swap_halves
+
+    rng = np.random.default_rng(20)
+    lib_size, d = 50, 16
+    p = rng.normal(size=(2 * lib_size + 1, d)).astype(np.float32)
+    p[-1] = 0
+    sentinel = 2 * lib_size
+    hits = np.full((6, 12), sentinel, dtype=np.int32)
+    for r in range(6):
+        n = rng.integers(0, 10)
+        feat = np.sort(rng.choice(2 * lib_size, size=n, replace=False))
+        hits[r, :n] = feat
+    hits_j = jnp.asarray(hits)
+    p_j = jnp.asarray(p)
+    e_f, e_r = embed_hits_pair(hits_j, p_j, swap_halves(p_j, lib_size),
+                               hit_chunk=5)
+    ref_f = embed_hits(hits_j, p_j)
+    ref_r = embed_hits(mirror_hits(hits_j, lib_size), p_j)
+    assert np.allclose(np.asarray(e_f), np.asarray(ref_f), atol=1e-5)
+    assert np.allclose(np.asarray(e_r), np.asarray(ref_r), atol=1e-5)
