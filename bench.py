@@ -53,13 +53,18 @@ def main() -> int:
         ]
         config = config_from_args(args)
 
-        # warm-up run compiles every kernel; second run is the measurement
+        # warm-up run compiles every kernel; median of 3 measured runs
+        # (host CPU on shared VMs varies 5-10x run to run)
         run_pipeline(config)
-        t0 = time.perf_counter()
-        result = run_pipeline(config)
-        device_s = time.perf_counter() - t0
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            result = run_pipeline(config)
+            times.append(time.perf_counter() - t0)
+        device_s = sorted(times)[1]
         device_rps = n_reads / device_s
-        print(f"[bench] device: {device_s:.2f}s = {device_rps:.1f} reads/s "
+        print(f"[bench] device: median {device_s:.2f}s of {sorted(times)} = "
+              f"{device_rps:.1f} reads/s "
               f"(stages: { {k: round(v['seconds'], 2) for k, v in result.metrics.items()} })",
               file=sys.stderr)
 

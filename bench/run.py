@@ -1,0 +1,85 @@
+"""Benchmark ladder runner: python bench/run.py [name ...].
+
+Runs each named config (bench/configs.py) through the device pipeline,
+reports reads/s + stage breakdown + ground-truth recall, and appends a row
+to bench/results.jsonl. The root bench.py remains the driver's single-line
+entry point; this runner is for the full ladder.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench.configs import CONFIGS  # noqa: E402
+
+
+def run_one(cfg, warm: bool = True) -> dict:
+    from fedrann_tpu.cli import config_from_args
+    from fedrann_tpu.eval import truth_recall
+    from fedrann_tpu.pipeline import run_pipeline
+    from fedrann_tpu.sim import simulate_reads, write_fasta
+
+    sim = simulate_reads(
+        genome_length=cfg.genome, coverage=cfg.coverage,
+        mean_read_length=cfg.read_len, error_rate=cfg.error_rate, seed=1234,
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        fasta = os.path.join(tmp, "reads.fasta")
+        write_fasta(fasta, sim.names, sim.sequences)
+        args = [
+            "-i", fasta, "-o", os.path.join(tmp, "out"),
+            "-k", str(cfg.k),
+            "--kmer-sample-fraction", str(cfg.sample_fraction),
+            "--kmer-min-multiplicity", str(cfg.min_multiplicity),
+            "-n", str(cfg.dim),
+            "--nndescent-n-neighbors", str(cfg.n_neighbors),
+            "--seed", "602", "--length-buckets", str(cfg.length_bucket),
+        ]
+        config = config_from_args(args)
+        if warm:
+            run_pipeline(config)
+        t0 = time.perf_counter()
+        result = run_pipeline(config)
+        wall = time.perf_counter() - t0
+
+    truth = sim.truth_overlaps(min_overlap=max(500, cfg.read_len // 4))
+    recall = (
+        truth_recall(result.neighbor_indices, truth, len(sim.names))
+        if truth else float("nan")
+    )
+    return {
+        "config": cfg.name,
+        "n_reads": len(sim.names),
+        "reads_per_s": round(len(sim.names) / wall, 2),
+        "wall_s": round(wall, 2),
+        "stages_s": {k: round(v["seconds"], 2)
+                     for k, v in result.metrics.items()},
+        "library_size": result.library.size,
+        "truth_recall": round(recall, 4),
+        "models": cfg.models,
+    }
+
+
+def main(argv):
+    names = argv or ["ci"]
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results.jsonl")
+    for name in names:
+        cfg = CONFIGS[name]
+        print(f"=== {name}: {cfg.models}", file=sys.stderr)
+        row = run_one(cfg)
+        row["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+        print(json.dumps(row))
+        with open(out_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -62,8 +62,60 @@ def load_native() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8),   # out
     ]
     lib.fastx_fill_bucket.restype = None
+    lib.fastx_write_overlaps.argtypes = [
+        ctypes.c_char_p,                  # path (appended to)
+        ctypes.POINTER(ctypes.c_char),    # names blob (NUL-separated)
+        ctypes.POINTER(ctypes.c_uint64),  # name offsets
+        ctypes.c_uint64,                  # n_names
+        ctypes.POINTER(ctypes.c_int32),   # q_rows
+        ctypes.POINTER(ctypes.c_int32),   # t_rows
+        ctypes.POINTER(ctypes.c_int32),   # ranks
+        ctypes.POINTER(ctypes.c_float),   # dists
+        ctypes.c_uint64,                  # n_rows
+    ]
+    lib.fastx_write_overlaps.restype = ctypes.c_int64
     _lib = lib
     return lib
+
+
+def write_overlaps_native(
+    path: str,
+    names: list[str],
+    q_rows: np.ndarray,
+    t_rows: np.ndarray,
+    ranks: np.ndarray,
+    dists: np.ndarray,
+) -> int:
+    """Append pre-filtered overlap rows via the C writer (rows must already
+    exclude self/negative targets). Returns rows written."""
+    lib = load_native()
+    if lib is None:
+        raise RuntimeError("native library not built")
+    blob = b"\x00".join(n.encode("ascii") for n in names) + b"\x00"
+    offsets = np.zeros(len(names), dtype=np.uint64)
+    pos = 0
+    for i, n in enumerate(names):
+        offsets[i] = pos
+        pos += len(n) + 1
+    q32 = np.ascontiguousarray(q_rows, dtype=np.int32)
+    t32 = np.ascontiguousarray(t_rows, dtype=np.int32)
+    r32 = np.ascontiguousarray(ranks, dtype=np.int32)
+    d32 = np.ascontiguousarray(dists, dtype=np.float32)
+    rc = lib.fastx_write_overlaps(
+        path.encode(),
+        ctypes.cast(ctypes.create_string_buffer(blob, len(blob)),
+                    ctypes.POINTER(ctypes.c_char)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(names),
+        q32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        t32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        r32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        d32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(q32),
+    )
+    if rc < 0:
+        raise RuntimeError(f"fastx_write_overlaps failed: {rc}")
+    return int(rc)
 
 
 def native_available() -> bool:

@@ -26,44 +26,64 @@ def _orientation(row: int) -> str:
     return "+" if row % 2 == 0 else "-"
 
 
+def _filter_rows(indices: np.ndarray, distances: np.ndarray):
+    """Self-row / unset filter shared by both writers."""
+    n, k = indices.shape
+    rows = np.arange(n)[:, None]
+    keep = (indices != rows) & (indices >= 0)
+    return (
+        np.broadcast_to(rows, indices.shape)[keep],
+        indices[keep],
+        np.broadcast_to(np.arange(k)[None, :], indices.shape)[keep],
+        distances[keep],
+    )
+
+
 def write_overlaps_tsv(
     out: IO[str],
     names: Sequence[str],
     neighbor_indices: np.ndarray,  # (2R, k) int
     neighbor_distances: np.ndarray,  # (2R, k) float
 ) -> int:
-    """Write the overlap table (vectorized via pandas when available — at
-    pod scale this is millions of rows); returns data rows written."""
+    """Write the overlap table; returns data rows written. Python loop —
+    the behavioral oracle; write_overlaps_path uses the C fast path."""
     out.write(HEADER)
-    indices = np.asarray(neighbor_indices)
-    distances = np.asarray(neighbor_distances)
-    n, k = indices.shape
-    rows = np.arange(n)[:, None]
-    keep = (indices != rows) & (indices >= 0)
-    q_rows = np.broadcast_to(rows, indices.shape)[keep]
-    t_rows = indices[keep]
-    ranks = np.broadcast_to(np.arange(k)[None, :], indices.shape)[keep]
-    dists = distances[keep]
-    name_arr = np.asarray(names, dtype=object)
-    orient = np.array(["+", "-"], dtype=object)
-    try:
-        import pandas as pd
-
-        df = pd.DataFrame(
-            {
-                "query_name": name_arr[q_rows // 2],
-                "query_orientation": orient[q_rows % 2],
-                "target_name": name_arr[t_rows // 2],
-                "target_orientation": orient[t_rows % 2],
-                "neighbor_rank": ranks,
-                "distance": dists,
-            }
+    q_rows, t_rows, ranks, dists = _filter_rows(
+        np.asarray(neighbor_indices), np.asarray(neighbor_distances)
+    )
+    for q, t, r, d in zip(q_rows, t_rows, ranks, dists):
+        out.write(
+            f"{names[q // 2]}\t{_orientation(q)}\t{names[t // 2]}"
+            f"\t{_orientation(t)}\t{r}\t{float(d):.9g}\n"
         )
-        df.to_csv(out, sep="\t", header=False, index=False)
-    except ImportError:
+    return len(q_rows)
+
+
+def write_overlaps_path(
+    path: str,
+    names: Sequence[str],
+    neighbor_indices: np.ndarray,
+    neighbor_distances: np.ndarray,
+) -> int:
+    """Write overlaps.tsv to a path; C writer when the native library is
+    built (python writers cost seconds per million rows on throttled
+    hosts), python fallback otherwise."""
+    q_rows, t_rows, ranks, dists = _filter_rows(
+        np.asarray(neighbor_indices), np.asarray(neighbor_distances)
+    )
+    from fedrann_tpu.io import native as native_io
+
+    if native_io.native_available():
+        with open(path, "w") as f:
+            f.write(HEADER)
+        return native_io.write_overlaps_native(
+            path, list(names), q_rows, t_rows, ranks, dists
+        )
+    with open(path, "w") as f:
+        f.write(HEADER)
         for q, t, r, d in zip(q_rows, t_rows, ranks, dists):
-            out.write(
-                f"{name_arr[q // 2]}\t{orient[q % 2]}\t{name_arr[t // 2]}"
-                f"\t{orient[t % 2]}\t{r}\t{float(d)}\n"
+            f.write(
+                f"{names[q // 2]}\t{_orientation(q)}\t{names[t // 2]}"
+                f"\t{_orientation(t)}\t{r}\t{float(d):.9g}\n"
             )
-    return int(keep.sum())
+    return len(q_rows)

@@ -123,20 +123,39 @@ def _table_lookup(lib_words: tuple, table: jax.Array, canon: tuple,
     return lo
 
 
-def _hits_from_positions(pos, lib_words, canon, is_fwd, valid, max_hits):
+def _hits_from_positions(pos, lib_words, canon, is_fwd, valid, max_hits,
+                         hit_buffer):
     """Shared tail: positions -> found/feature indices -> per-read unique
-    compacted hit rows (presence-set semantics)."""
-    r = valid.shape[0]
+    compacted hit rows (presence-set semantics).
+
+    Hit windows are first compacted (cumsum + scatter, O(W)) into a
+    (R, hit_buffer) staging buffer so the per-row dedup sort runs over
+    ~sample_fraction of the windows instead of all of them."""
+    r, w = valid.shape
     lib_size = lib_words[0].shape[0]
     sentinel = 2 * lib_size
     pos_c = jnp.clip(pos, 0, max(lib_size - 1, 0))
-    lib_at = tuple(w[pos_c] for w in lib_words)
+    lib_at = tuple(wd[pos_c] for wd in lib_words)
     found = valid & (pos < lib_size) & words_eq(lib_at, canon)
     feat = jnp.where(
         found,
         jnp.where(is_fwd, pos_c, pos_c + lib_size),
         sentinel,
     ).astype(jnp.int32)
+
+    rows_w = jax.lax.broadcasted_iota(jnp.int32, (r, w), 0)
+    occ_dropped = jnp.zeros((r,), jnp.int32)
+    if hit_buffer < w:
+        # stage 1: compact hit occurrences (duplicates included, window
+        # order preserved) into the smaller buffer
+        present = feat != sentinel
+        occ_pos = jnp.cumsum(present, axis=1) - 1
+        tgt = jnp.where(present & (occ_pos < hit_buffer), occ_pos, hit_buffer)
+        staged = jnp.full((r, hit_buffer), sentinel, dtype=jnp.int32)
+        staged = staged.at[rows_w, tgt].set(feat, mode="drop")
+        n_occ = jnp.sum(present, axis=1).astype(jnp.int32)
+        occ_dropped = jnp.maximum(n_occ - hit_buffer, 0)
+        feat = staged
 
     # presence-set semantics: sort row, keep first occurrences
     feat_sorted = jnp.sort(feat, axis=1)
@@ -154,25 +173,32 @@ def _hits_from_positions(pos, lib_words, canon, is_fwd, valid, max_hits):
 
     n_uniq = jnp.sum(uniq, axis=1).astype(jnp.int32)
     n_hits = jnp.minimum(n_uniq, max_hits)
-    return hits, n_hits, n_uniq - n_hits
+    return hits, n_hits, (n_uniq - n_hits) + occ_dropped
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_hits"))
-def _read_hits_plain(bases, lib_words, k, max_hits):
+@functools.partial(jax.jit,
+                   static_argnames=("k", "max_hits", "hit_buffer"))
+def _read_hits_plain(bases, lib_words, k, max_hits, hit_buffer):
     canon, is_fwd, valid = canonical_window_codes(bases, k)
     if lib_words[0].shape[0] == 0:
         pos = jnp.zeros(valid.shape, dtype=jnp.int32)
         valid = jnp.zeros(valid.shape, dtype=bool)
     else:
         pos = _searchsorted_words(lib_words, canon)
-    return _hits_from_positions(pos, lib_words, canon, is_fwd, valid, max_hits)
+    return _hits_from_positions(pos, lib_words, canon, is_fwd, valid,
+                                max_hits, hit_buffer)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_hits", "bits", "steps"))
-def _read_hits_indexed(bases, lib_words, table, k, max_hits, bits, steps):
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "max_hits", "bits", "steps", "hit_buffer"),
+)
+def _read_hits_indexed(bases, lib_words, table, k, max_hits, bits, steps,
+                       hit_buffer):
     canon, is_fwd, valid = canonical_window_codes(bases, k)
     pos = _table_lookup(lib_words, table, canon, k, bits, steps)
-    return _hits_from_positions(pos, lib_words, canon, is_fwd, valid, max_hits)
+    return _hits_from_positions(pos, lib_words, canon, is_fwd, valid,
+                                max_hits, hit_buffer)
 
 
 def read_hits(
@@ -180,6 +206,7 @@ def read_hits(
     lib,                         # word-plane tuple OR LibraryIndex
     k: int,
     max_hits: int,
+    hit_buffer: int | None = None,
 ):
     """Forward-scan feature rows for a bucket of reads.
 
@@ -191,13 +218,18 @@ def read_hits(
       n_hits    (R,) int32 number of real entries (<= max_hits)
       n_dropped (R,) int32 distinct hits dropped by the max_hits cap
     """
+    w = bases.shape[1] - k + 1
+    if hit_buffer is None:
+        hit_buffer = w
+    hit_buffer = min(w, 1 << (int(hit_buffer) - 1).bit_length())
     if isinstance(lib, LibraryIndex):
         if lib.words[0].shape[0] == 0:
-            return _read_hits_plain(bases, lib.words, k, max_hits)
+            return _read_hits_plain(bases, lib.words, k, max_hits, hit_buffer)
         return _read_hits_indexed(
-            bases, lib.words, lib.table, k, max_hits, lib.bits, lib.steps
+            bases, lib.words, lib.table, k, max_hits, lib.bits, lib.steps,
+            hit_buffer,
         )
-    return _read_hits_plain(bases, lib, k, max_hits)
+    return _read_hits_plain(bases, lib, k, max_hits, hit_buffer)
 
 
 @functools.partial(jax.jit, static_argnames=("lib_size",))

@@ -29,7 +29,7 @@ import numpy as np
 from fedrann_tpu.config import PipelineConfig
 from fedrann_tpu.io.fastx import read_fastx
 from fedrann_tpu.io.packing import PackedBucket, PackedReads, pack_reads
-from fedrann_tpu.io.tsv import write_overlaps_tsv
+from fedrann_tpu.io.tsv import write_overlaps_path
 from fedrann_tpu.kmers.codec import canonical_window_codes
 from fedrann_tpu.kmers.library_device import build_library_on_device
 from fedrann_tpu.kmers.membership import build_library_index, read_hits
@@ -122,9 +122,12 @@ def compute_embeddings(
         device_chunks = _device_chunks(packed, config.window_batch)
 
     for dev_bases, idx in device_chunks:
+        w = dev_bases.shape[1] - config.kmer_size + 1
+        # expected hit occurrences per read ~ sample_fraction * W; 3x slack
+        hit_buffer = max(1024, int(3 * config.kmer_sample_fraction * w))
         hits, _, dropped = read_hits(
             dev_bases, lib_index, config.kmer_size,
-            config.max_hits_per_read,
+            config.max_hits_per_read, hit_buffer=hit_buffer,
         )
         e_fwd, e_rev = embed_hits_pair(hits, p_ext, p_swapped)
         garbage = 2 * n_reads
@@ -232,8 +235,9 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
             overlaps_path = None
             if out_dir:
                 overlaps_path = os.path.join(out_dir, "overlaps.tsv")
-                with open(overlaps_path, "w") as f:
-                    n_rows = write_overlaps_tsv(f, packed.names, idx, dist)
+                n_rows = write_overlaps_path(
+                    overlaps_path, packed.names, idx, dist
+                )
                 logger.info("wrote %d overlap rows to %s", n_rows, overlaps_path)
                 if config.save_feature_matrix:
                     # the reference documents feature_matrix.npz but never

@@ -197,6 +197,34 @@ void fastx_fill_bucket(const uint8_t* codes, const uint64_t* offsets,
   }
 }
 
+// Append overlap rows to an opened-for-write FILE (path), reference TSV
+// contract (6 columns; orientation = row parity). Returns rows written or
+// negative errno-style code. Python-level writers on the throttled host
+// VMs cost 3-25 s per million rows; this loop is I/O-bound.
+int64_t fastx_write_overlaps(const char* path, const char* names,
+                             const uint64_t* name_offsets, uint64_t n_names,
+                             const int32_t* q_rows, const int32_t* t_rows,
+                             const int32_t* ranks, const float* dists,
+                             uint64_t n_rows) {
+  FILE* f = fopen(path, "ab");
+  if (!f) return -1;
+  static char buf[1 << 20];
+  setvbuf(f, buf, _IOFBF, sizeof(buf));
+  for (uint64_t i = 0; i < n_rows; ++i) {
+    uint32_t q = (uint32_t)q_rows[i], t = (uint32_t)t_rows[i];
+    uint64_t qn = q >> 1, tn = t >> 1;
+    if (qn >= n_names || tn >= n_names) {
+      fclose(f);
+      return -2;
+    }
+    fprintf(f, "%s\t%c\t%s\t%c\t%d\t%.9g\n", names + name_offsets[qn],
+            (q & 1) ? '-' : '+', names + name_offsets[tn],
+            (t & 1) ? '-' : '+', ranks[i], (double)dists[i]);
+  }
+  fclose(f);
+  return (int64_t)n_rows;
+}
+
 void fastx_free(FastxParsed* p) {
   free(p->codes);
   free(p->offsets);

@@ -279,3 +279,25 @@ def test_embed_hits_pair_matches_mirror_path():
     ref_r = embed_hits(mirror_hits(hits_j, lib_size), p_j)
     assert np.allclose(np.asarray(e_f), np.asarray(ref_f), atol=1e-5)
     assert np.allclose(np.asarray(e_r), np.asarray(ref_r), atol=1e-5)
+
+
+def test_read_hits_hit_buffer_matches_full():
+    """Pre-compaction staging buffer must not change results when sized
+    adequately."""
+    sim = simulate_reads(genome_length=6000, coverage=5, mean_read_length=800,
+                         seed=4)
+    k = 13
+    lib = _mk_library(sim, k, frac=0.2)
+    packed = pack_reads(
+        [FastxRecord(n, s) for n, s in zip(sim.names, sim.sequences)],
+        length_buckets=(2048,),
+    )
+    bases = jnp.asarray(packed.buckets[0].bases)
+    lw = library_device_words(lib.codes, k)
+    full = read_hits(bases, lw, k, max_hits=2048)
+    small = read_hits(bases, lw, k, max_hits=2048, hit_buffer=512)
+    assert np.array_equal(np.asarray(full[0]), np.asarray(small[0]))
+    assert np.array_equal(np.asarray(full[1]), np.asarray(small[1]))
+    # an absurdly small buffer must REPORT drops, not silently lose hits
+    tiny = read_hits(bases, lw, k, max_hits=2048, hit_buffer=2)
+    assert np.asarray(tiny[2]).sum() > 0

@@ -69,3 +69,21 @@ def test_native_bad_file(tmp_path):
     p.write_text("not a fastx\n")
     with pytest.raises(ValueError):
         native.parse_fastx_native(str(p))
+
+
+def test_native_overlaps_writer_matches_python(tmp_path):
+    import io as _io
+
+    from fedrann_tpu.io.tsv import write_overlaps_path, write_overlaps_tsv
+
+    rng = np.random.default_rng(70)
+    names = [f"read_{i}" for i in range(20)]
+    idx = rng.integers(-1, 40, size=(40, 5)).astype(np.int32)
+    dist = rng.random((40, 5)).astype(np.float32)
+
+    buf = _io.StringIO()
+    n_py = write_overlaps_tsv(buf, names, idx, dist)
+    p = tmp_path / "o.tsv"
+    n_c = write_overlaps_path(str(p), names, idx, dist)
+    assert n_c == n_py
+    assert p.read_text() == buf.getvalue()

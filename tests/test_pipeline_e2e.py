@@ -107,3 +107,30 @@ def test_truth_recall(sim_input, tmp_path):
     )
     recall = found / len(truth)
     assert recall > 0.75, f"recall {recall}"
+
+
+def test_pipeline_k21_two_word_path(tmp_path):
+    """End-to-end with k=21 exercises the two-word code path everywhere."""
+    sim = simulate_reads(genome_length=12000, coverage=6,
+                         mean_read_length=1500, error_rate=0.01, seed=23)
+    path = str(tmp_path / "r.fasta")
+    from fedrann_tpu.sim import write_fasta as wf
+    wf(path, sim.names, sim.sequences)
+    config = config_from_args([
+        "-i", path, "-o", str(tmp_path / "o21"), "-k", "21",
+        "--kmer-sample-fraction", "0.3", "--kmer-min-multiplicity", "2",
+        "-n", "128", "--nndescent-n-neighbors", "10", "--seed", "5",
+        "--length-buckets", "4096", "--knn-query-tile", "64",
+    ])
+    result = run_pipeline(config)
+    lib_o, emb_o, idx_o, dist_o = oracle.run_oracle_pipeline(
+        sim.sequences, k=21, sample_fraction=0.3, min_multiplicity=2,
+        n_components=128, n_neighbors=10, library_seed=5, projection_seed=2094,
+    )
+    assert np.array_equal(result.library.codes, lib_o.codes)
+    assert np.allclose(result.embeddings, emb_o, rtol=1e-4, atol=1e-4)
+    truth = sim.truth_overlaps(min_overlap=600)
+    if truth:
+        from fedrann_tpu.eval import truth_recall
+        assert truth_recall(result.neighbor_indices, truth,
+                            len(sim.names)) > 0.7
