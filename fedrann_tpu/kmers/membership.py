@@ -191,14 +191,43 @@ def _read_hits_plain(bases, lib_words, k, max_hits, hit_buffer):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "max_hits", "bits", "steps", "hit_buffer"),
+    static_argnames=("k", "max_hits", "bits", "steps", "hit_buffer",
+                     "prefilter"),
 )
 def _read_hits_indexed(bases, lib_words, table, k, max_hits, bits, steps,
-                       hit_buffer):
+                       hit_buffer, prefilter, seed32, threshold):
     canon, is_fwd, valid = canonical_window_codes(bases, k)
+    r, w = valid.shape
+    pre_dropped = jnp.zeros((r,), jnp.int32)
+    if prefilter and hit_buffer < w:
+        # every library code passes the sampling hash (the library was
+        # built with the same seed/threshold), so windows that fail it can
+        # never hit — compact candidates BEFORE the gather-heavy lookup.
+        # Gather volume drops by ~1/sample_fraction.
+        from fedrann_tpu.kmers.codec import sample_hash32
+
+        cand = valid & (sample_hash32(canon, seed32) < threshold)
+        occ_pos = jnp.cumsum(cand, axis=1) - 1
+        tgt = jnp.where(cand & (occ_pos < hit_buffer), occ_pos, hit_buffer)
+        rows_w = jax.lax.broadcasted_iota(jnp.int32, (r, w), 0)
+        canon = tuple(
+            jnp.full((r, hit_buffer), 0xFFFFFFFF, dtype=jnp.uint32)
+            .at[rows_w, tgt].set(wd, mode="drop")
+            for wd in canon
+        )
+        is_fwd = (
+            jnp.zeros((r, hit_buffer), dtype=bool)
+            .at[rows_w, tgt].set(is_fwd, mode="drop")
+        )
+        # the all-ones sentinel word is unreachable by real canonical codes
+        valid = canon[0] != jnp.uint32(0xFFFFFFFF)
+        n_cand = jnp.sum(cand, axis=1).astype(jnp.int32)
+        pre_dropped = jnp.maximum(n_cand - hit_buffer, 0)
     pos = _table_lookup(lib_words, table, canon, k, bits, steps)
-    return _hits_from_positions(pos, lib_words, canon, is_fwd, valid,
-                                max_hits, hit_buffer)
+    hits, n_hits, dropped = _hits_from_positions(
+        pos, lib_words, canon, is_fwd, valid, max_hits, hit_buffer
+    )
+    return hits, n_hits, dropped + pre_dropped
 
 
 def read_hits(
@@ -207,11 +236,15 @@ def read_hits(
     k: int,
     max_hits: int,
     hit_buffer: int | None = None,
+    sampling: tuple | None = None,
 ):
     """Forward-scan feature rows for a bucket of reads.
 
     `lib` is either the uint32 word-plane tuple (plain binary search) or a
-    LibraryIndex (prefix-table fast path).
+    LibraryIndex (prefix-table fast path). `sampling=(seed, fraction)`
+    enables the hash prefilter — ONLY valid when the library was sampled
+    with exactly that seed/fraction (fedrann_tpu sampling contract); it is
+    an exact optimization in that case and wrong otherwise.
 
     Returns:
       hits      (R, max_hits) int32, sorted ascending, padded with 2L
@@ -225,9 +258,18 @@ def read_hits(
     if isinstance(lib, LibraryIndex):
         if lib.words[0].shape[0] == 0:
             return _read_hits_plain(bases, lib.words, k, max_hits, hit_buffer)
+        prefilter = sampling is not None and sampling[1] < 1.0
+        if prefilter:
+            seed32 = jnp.uint32(np.uint32(int(sampling[0]) & 0xFFFFFFFF))
+            threshold = jnp.uint32(
+                min(int(float(sampling[1]) * 2.0**32), 2**32 - 1)
+            )
+        else:
+            seed32 = jnp.uint32(0)
+            threshold = jnp.uint32(0)
         return _read_hits_indexed(
             bases, lib.words, lib.table, k, max_hits, lib.bits, lib.steps,
-            hit_buffer,
+            hit_buffer, prefilter, seed32, threshold,
         )
     return _read_hits_plain(bases, lib, k, max_hits, hit_buffer)
 

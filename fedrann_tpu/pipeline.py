@@ -128,6 +128,7 @@ def compute_embeddings(
         hits, _, dropped = read_hits(
             dev_bases, lib_index, config.kmer_size,
             config.max_hits_per_read, hit_buffer=hit_buffer,
+            sampling=(config.seed, config.kmer_sample_fraction),
         )
         e_fwd, e_rev = embed_hits_pair(hits, p_ext, p_swapped)
         garbage = 2 * n_reads

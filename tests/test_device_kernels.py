@@ -301,3 +301,27 @@ def test_read_hits_hit_buffer_matches_full():
     # an absurdly small buffer must REPORT drops, not silently lose hits
     tiny = read_hits(bases, lw, k, max_hits=2048, hit_buffer=2)
     assert np.asarray(tiny[2]).sum() > 0
+
+
+@pytest.mark.parametrize("k", [13, 21])
+def test_read_hits_sampling_prefilter_exact(k):
+    """Hash prefilter must be an EXACT optimization when the library was
+    sampled with the same (seed, fraction)."""
+    from fedrann_tpu.kmers.membership import build_library_index
+
+    sim = simulate_reads(genome_length=8000, coverage=6, mean_read_length=900,
+                         seed=14)
+    seed, frac = 77, 0.2
+    lib = oracle.build_library(sim.sequences, k, 2, frac, seed)
+    packed = pack_reads(
+        [FastxRecord(n, s) for n, s in zip(sim.names, sim.sequences)],
+        length_buckets=(2048,),
+    )
+    bases = jnp.asarray(packed.buckets[0].bases)
+    index = build_library_index(lib.codes, k)
+    base = read_hits(bases, index, k, 2048, hit_buffer=1024)
+    pref = read_hits(bases, index, k, 2048, hit_buffer=1024,
+                     sampling=(seed, frac))
+    assert np.array_equal(np.asarray(base[0]), np.asarray(pref[0]))
+    assert np.array_equal(np.asarray(base[1]), np.asarray(pref[1]))
+    assert np.asarray(pref[2]).sum() == 0
