@@ -80,13 +80,16 @@ def main() -> int:
         mean_read_length=read_len, error_rate=0.05, seed=1234,
     )
     sub = base_sim.sequences
-    t0 = time.perf_counter()
-    oracle.run_oracle_pipeline(
-        sub, k=15, sample_fraction=0.05, min_multiplicity=2,
-        n_components=512, n_neighbors=50, library_seed=602,
-        projection_seed=2094,
-    )
-    oracle_s = time.perf_counter() - t0
+    otimes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        oracle.run_oracle_pipeline(
+            sub, k=15, sample_fraction=0.05, min_multiplicity=2,
+            n_components=512, n_neighbors=50, library_seed=602,
+            projection_seed=2094,
+        )
+        otimes.append(time.perf_counter() - t0)
+    oracle_s = sorted(otimes)[1]
     oracle_rps = len(sub) / oracle_s
     print(f"[bench] oracle CPU: {oracle_s:.2f}s for {len(sub)} reads = "
           f"{oracle_rps:.1f} reads/s", file=sys.stderr)

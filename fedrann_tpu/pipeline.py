@@ -73,14 +73,19 @@ def _row_chunks(bucket: PackedBucket, window_batch: int) -> Iterator[np.ndarray]
         yield _pad_chunk(bucket.bases[start : start + rows], rows, INVALID)
 
 
-def _device_chunks(packed: PackedReads, window_batch: int):
+def _device_chunks(packed: PackedReads, window_batch: int,
+                   chunk_size: int | None = None):
     """Upload every read chunk to the device ONCE; both the count and the
     embed stages consume the same device arrays (host->device uploads are
     not free on tunneled hosts, and bases are the smallest representation).
+    chunk_size (the reference's --chunk-size, reads per processing chunk)
+    caps the rows per chunk when given.
     Returns [(device bases (rows, L) uint8, host read_index (rows,))]."""
     out = []
     for bucket in packed.buckets:
         rows = max(8, (window_batch // bucket.bases.shape[1]) // 8 * 8)
+        if chunk_size:
+            rows = max(8, min(rows, chunk_size // 8 * 8 or 8))
         for start in range(0, bucket.bases.shape[0], rows):
             from fedrann_tpu.io.packing import INVALID
 
@@ -183,7 +188,9 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
             logger.info("loaded %d reads into %d buckets",
                         packed.n_reads, len(packed.buckets))
 
-        device_chunks = _device_chunks(packed, config.window_batch)
+        device_chunks = _device_chunks(
+            packed, config.window_batch, config.chunk_size
+        )
 
         with metrics.stage("count"):
             library = _load_or_build_library(
@@ -201,11 +208,17 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
             )
 
         with metrics.stage("embed"):
-            emb, _ = compute_embeddings(
-                packed, library, config, p_ext, device_chunks
-            )
-            if ckpt_dir:
-                np.save(os.path.join(ckpt_dir, "embeddings.npy"), np.asarray(emb))
+            emb = _load_embeddings_checkpoint(config, ckpt_dir, packed, library)
+            if emb is None:
+                emb, _ = compute_embeddings(
+                    packed, library, config, p_ext, device_chunks
+                )
+                if ckpt_dir:
+                    np.save(os.path.join(ckpt_dir, "embeddings.npy"),
+                            np.asarray(emb))
+                    with open(os.path.join(ckpt_dir, "embeddings_meta.json"),
+                              "w") as f:
+                        json.dump(_embed_fingerprint(config, packed, library), f)
 
         with metrics.stage("knn"):
             n_dev = len(jax.devices())
@@ -267,6 +280,40 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
         metrics=metrics.summary(),
         overlaps_path=overlaps_path if out_dir else None,
     )
+
+
+def _embed_fingerprint(config: PipelineConfig, packed: PackedReads,
+                       library: KmerLibrary) -> dict:
+    """Everything the embedding matrix depends on; guards checkpoint resume."""
+    return {
+        "k": config.kmer_size,
+        "seed": config.seed,
+        "fraction": config.kmer_sample_fraction,
+        "min_multiplicity": config.kmer_min_multiplicity,
+        "dim": config.embedding_dimension,
+        "projection_seed": config.projection_seed,
+        "projection_density": config.projection_density,
+        "max_hits": config.max_hits_per_read,
+        "n_reads": packed.n_reads,
+        "library_size": library.size,
+    }
+
+
+def _load_embeddings_checkpoint(config, ckpt_dir, packed, library):
+    """Resume the embedding matrix when a prior run saved it with an
+    identical fingerprint (SURVEY.md §5 checkpoint/resume)."""
+    if not ckpt_dir:
+        return None
+    npy = os.path.join(ckpt_dir, "embeddings.npy")
+    meta_path = os.path.join(ckpt_dir, "embeddings_meta.json")
+    if not (os.path.exists(npy) and os.path.exists(meta_path)):
+        return None
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta != _embed_fingerprint(config, packed, library):
+        return None
+    logger.info("resuming embeddings from %s", npy)
+    return jnp.asarray(np.load(npy))
 
 
 def _load_or_build_library(

@@ -134,3 +134,22 @@ def test_pipeline_k21_two_word_path(tmp_path):
         from fedrann_tpu.eval import truth_recall
         assert truth_recall(result.neighbor_indices, truth,
                             len(sim.names)) > 0.7
+
+
+def test_embeddings_checkpoint_resume(sim_input, tmp_path):
+    """Second run with identical config must resume embeddings; a changed
+    config must NOT."""
+    sim, path = sim_input
+    out = str(tmp_path / "er")
+    args = ["-i", path, "-o", out, "--keep-intermediates", *BASE_ARGS]
+    r1 = run_pipeline(config_from_args(args))
+    import json as _json
+    meta = os.path.join(out, "checkpoints", "embeddings_meta.json")
+    assert os.path.exists(meta)
+    r2 = run_pipeline(config_from_args(args))
+    assert np.allclose(np.asarray(r1.embeddings), np.asarray(r2.embeddings))
+    # different projection seed -> fingerprint mismatch -> recompute
+    args3 = args + ["--projection-seed", "999"]
+    r3 = run_pipeline(config_from_args(args3))
+    assert not np.allclose(np.asarray(r1.embeddings),
+                           np.asarray(r3.embeddings))
