@@ -14,9 +14,12 @@ import sys
 import tempfile
 import time
 
+# repo root for fedrann_tpu; bench/ itself for configs (the root bench.py
+# module shadows the bench/ directory as an import name)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from bench.configs import CONFIGS  # noqa: E402
+from configs import CONFIGS  # noqa: E402
 
 
 def run_one(cfg, warm: bool = True) -> dict:

@@ -7,26 +7,34 @@ layout (SURVEY.md §2.8 TPU analogues):
 - read bases: row-sharded (data parallel) — device m owns reads
   [m*B, (m+1)*B), hence embedding rows [2mB, 2(m+1)B) of the global
   fwd/rev-interleaved matrix,
-- library codes + precompute matrix: replicated (seed-deterministic),
+- library words + prefix table + precompute matrix: replicated
+  (seed-deterministic, so replication costs one broadcast),
 - candidates: rotated around the ICI ring (ppermute) with a running
-  top-k merge per step.
+  top-k merge per step, or all-gathered (strategy flag).
 
-This is also the program dryrun-compiled by __graft_entry__.dryrun_multichip.
+Uses the same fast paths as the single-chip pipeline: prefix-table
+membership with optional sampling prefilter, and the half-swapped-P paired
+embedding. This is also the program dryrun-compiled by
+__graft_entry__.dryrun_multichip.
 """
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from fedrann_tpu.kmers.membership import mirror_hits, read_hits
+from fedrann_tpu.kmers.membership import (
+    LibraryIndex,
+    build_library_index,
+    read_hits,
+)
 from fedrann_tpu.knn.ring import _allgather_body, _ring_body
 from fedrann_tpu.knn.topk import normalize_rows
 from fedrann_tpu.parallel.mesh import DATA_AXIS
+from fedrann_tpu.project.embed import embed_hits_pair, swap_halves
 
 
 def make_sharded_step(
@@ -36,23 +44,29 @@ def make_sharded_step(
     n_neighbors: int,
     precision: str = "bf16",
     strategy: str = "ring",
+    bits: int = 8,
+    steps: int = 8,
+    hit_buffer: int | None = None,
+    sampling: tuple | None = None,
 ):
     """Build the jitted sharded step.
 
-    Returned fn(bases (R, L) uint8, lib_words (uint32 word-plane tuple, see
-    membership.library_device_words), p_ext (2*L_lib+1, d) f32)
-    -> (distances (2R, k), indices (2R, k)).
+    Returned fn(bases (R, L) uint8, lib (words..., table) pytree,
+    p_ext (2L+1, d) f32, p_swapped (2L+1, d) f32)
+    -> (distances (2R, k_nn), indices (2R, k_nn)).
     R must divide by the mesh size (pad with all-INVALID rows host-side).
+    bits/steps must come from the LibraryIndex the inputs were built with.
     """
     n_dev = mesh.devices.size
 
-    from fedrann_tpu.project.embed import embed_hits
-
-    def body(bases_local, lib_words, p_ext):
-        lib_size = lib_words[0].shape[0]
-        hits, _, _ = read_hits(bases_local, lib_words, k, max_hits)
-        e_fwd = embed_hits(hits, p_ext)
-        e_rev = embed_hits(mirror_hits(hits, lib_size), p_ext)
+    def body(bases_local, lib, p_ext, p_swapped):
+        words, table = lib
+        index = LibraryIndex(words, table, k, bits, steps)
+        hits, _, _ = read_hits(
+            bases_local, index, k, max_hits,
+            hit_buffer=hit_buffer, sampling=sampling,
+        )
+        e_fwd, e_rev = embed_hits_pair(hits, p_ext, p_swapped)
         b = e_fwd.shape[0]
         e = jnp.stack([e_fwd, e_rev], axis=1).reshape(2 * b, e_fwd.shape[1])
         en = normalize_rows(e)
@@ -65,17 +79,29 @@ def make_sharded_step(
     mapped = shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(DATA_AXIS, None), P(), P()),
+        in_specs=(P(DATA_AXIS, None), P(), P(), P()),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
         check_rep=False,
     )
     return jax.jit(mapped)
 
 
-def shard_step_inputs(mesh, bases, lib_words, p_ext):
-    """Place inputs with the shardings make_sharded_step expects."""
-    return (
+def shard_step_inputs(mesh, bases, library_codes_u64: np.ndarray, k: int,
+                      p_ext):
+    """Build + place inputs with the shardings make_sharded_step expects.
+    Returns (args tuple, index) — pass index.bits/index.steps to
+    make_sharded_step."""
+    index = build_library_index(library_codes_u64, k)
+    lib_size = index.words[0].shape[0]
+    p_swapped = swap_halves(p_ext, lib_size)
+    rep = NamedSharding(mesh, P())
+    args = (
         jax.device_put(bases, NamedSharding(mesh, P(DATA_AXIS, None))),
-        tuple(jax.device_put(w, NamedSharding(mesh, P())) for w in lib_words),
-        jax.device_put(p_ext, NamedSharding(mesh, P())),
+        (
+            tuple(jax.device_put(w, rep) for w in index.words),
+            jax.device_put(index.table, rep),
+        ),
+        jax.device_put(p_ext, rep),
+        jax.device_put(p_swapped, rep),
     )
+    return args, index

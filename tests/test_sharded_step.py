@@ -1,0 +1,69 @@
+"""Fully-sharded fused step (8-device CPU mesh) vs the single-device
+pipeline stages."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fedrann_tpu import oracle
+from fedrann_tpu.io.fastx import FastxRecord
+from fedrann_tpu.io.packing import pack_reads
+from fedrann_tpu.knn.topk import knn_exact
+from fedrann_tpu.parallel.mesh import make_mesh
+from fedrann_tpu.parallel.step import make_sharded_step, shard_step_inputs
+from fedrann_tpu.project.srp import build_precompute
+from fedrann_tpu.sim import simulate_reads
+
+
+def test_sharded_step_matches_single_device():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    sim = simulate_reads(genome_length=10000, coverage=5,
+                         mean_read_length=1000, seed=81)
+    k, frac, seed = 13, 0.3, 44
+    lib = oracle.build_library(sim.sequences, k, 2, frac, seed)
+    packed = pack_reads(
+        [FastxRecord(n, s) for n, s in zip(sim.names, sim.sequences)],
+        length_buckets=(2048,), pad_rows_to=8,
+    )
+    bucket = packed.buckets[0]
+    # rows already padded to a multiple of 8 == mesh size
+    bases = jnp.asarray(bucket.bases)
+    p_ext = build_precompute(jnp.asarray(lib.counts), 64, 2094)
+
+    args, index = shard_step_inputs(mesh, bases, lib.codes, k, p_ext)
+    step = make_sharded_step(
+        mesh, k=k, max_hits=1024, n_neighbors=6, precision="fp32",
+        strategy="ring", bits=index.bits, steps=index.steps,
+        sampling=(seed, frac),
+    )
+    dist_s, idx_s = step(*args)
+    dist_s, idx_s = np.asarray(dist_s), np.asarray(idx_s)
+
+    # single-device reference: same hit rows -> embeddings -> exact knn
+    rows = oracle.feature_rows(
+        [sim.sequences[i] if i >= 0 else "" for i in bucket.read_index],
+        k, lib,
+    )
+    emb = oracle.embed(rows, lib, 64, 2094)
+    idx_1, dist_1 = knn_exact(jnp.asarray(emb), 6, precision="fp32")
+
+    assert dist_s.shape == dist_1.shape
+    assert np.allclose(dist_s, dist_1, atol=2e-4)
+    # index agreement only where neighbors are distance-resolved: padding
+    # reads embed as zero rows whose distance to everything is exactly 1,
+    # so rank order among them is an arbitrary tie-break
+    real_rows = np.asarray([
+        2 * i + o for i, r in enumerate(bucket.read_index) if r >= 0
+        for o in (0, 1)
+    ])
+    agrees = []
+    for q in real_rows:
+        resolved = dist_1[q] < 0.99
+        if resolved.sum() == 0:
+            continue
+        agrees.append(
+            len(set(idx_s[q][resolved]) & set(idx_1[q][resolved]))
+            / int(resolved.sum())
+        )
+    assert np.mean(agrees) > 0.95, np.mean(agrees)
