@@ -107,6 +107,7 @@ def build_library_on_device(
     sample_fraction: float,
     seed: int,
     cap: int | None = None,
+    presampled: bool = False,
 ) -> KmerLibrary:
     """canon_chunks: list of canonical-code word tuples (device arrays, any
     shape — flattened here), as produced by canonical_window_codes (invalid
@@ -134,8 +135,9 @@ def build_library_on_device(
     threshold = np.uint32(min(int(sample_fraction * 2.0**32), 2**32 - 1))
     seed32 = jnp.uint32(np.uint32(seed & 0xFFFFFFFF))
 
-    if not keep_all:
+    if not keep_all and not presampled:
         # sampling-first: shrink the sort by ~1/sample_fraction
+        # (presampled inputs — stage_candidates output — skip this pass)
         scap = min(padded, max(1024, int(2.5 * sample_fraction * padded)))
         scap = 1 << (int(scap) - 1).bit_length()
         survivors, n_surv = _prefilter_sampled(flat, scap, seed32, threshold)

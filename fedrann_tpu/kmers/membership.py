@@ -190,6 +190,71 @@ def _read_hits_plain(bases, lib_words, k, max_hits, hit_buffer):
 
 
 @functools.partial(
+    jax.jit, static_argnames=("k", "hit_buffer", "keep_all")
+)
+def stage_candidates(bases, k, hit_buffer, keep_all, seed32, threshold):
+    """Shared candidate-extraction stage: canonical windows + sampling-hash
+    filter + per-read compaction, computed ONCE and consumed by both the
+    count and the embed stages (they each re-derived it before).
+
+    Returns (staged_words (R, hit_buffer) uint32 tuple — all-ones sentinel
+    padding, is_fwd (R, hit_buffer) bool, n_dropped (R,) int32 candidate
+    occurrences beyond the buffer)."""
+    from fedrann_tpu.kmers.codec import sample_hash32
+
+    canon, is_fwd, valid = canonical_window_codes(bases, k)
+    r, w = valid.shape
+    if keep_all:
+        cand = valid
+    else:
+        cand = valid & (sample_hash32(canon, seed32) < threshold)
+    if hit_buffer >= w:
+        sent = tuple(
+            jnp.where(cand, wd, jnp.uint32(0xFFFFFFFF)) for wd in canon
+        )
+        return sent, is_fwd, jnp.zeros((r,), jnp.int32)
+    occ_pos = jnp.cumsum(cand, axis=1) - 1
+    tgt = jnp.where(cand & (occ_pos < hit_buffer), occ_pos, hit_buffer)
+    rows_w = jax.lax.broadcasted_iota(jnp.int32, (r, w), 0)
+    staged = tuple(
+        jnp.full((r, hit_buffer), 0xFFFFFFFF, dtype=jnp.uint32)
+        .at[rows_w, tgt].set(wd, mode="drop")
+        for wd in canon
+    )
+    staged_fwd = (
+        jnp.zeros((r, hit_buffer), dtype=bool)
+        .at[rows_w, tgt].set(is_fwd, mode="drop")
+    )
+    n_cand = jnp.sum(cand, axis=1).astype(jnp.int32)
+    return staged, staged_fwd, jnp.maximum(n_cand - hit_buffer, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "max_hits", "bits", "steps")
+)
+def _read_hits_staged(staged_words, staged_fwd, lib_words, table, k,
+                      max_hits, bits, steps):
+    """Membership over pre-staged candidates (stage_candidates output)."""
+    valid = staged_words[0] != jnp.uint32(0xFFFFFFFF)
+    pos = _table_lookup(lib_words, table, staged_words, k, bits, steps)
+    return _hits_from_positions(
+        pos, lib_words, staged_words, staged_fwd, valid, max_hits,
+        staged_words[0].shape[1],
+    )
+
+
+def read_hits_staged(staged, lib: "LibraryIndex", k: int, max_hits: int):
+    """Forward-scan feature rows from staged candidates; staged is the
+    (words, is_fwd, dropped) triple from stage_candidates."""
+    staged_words, staged_fwd, pre_dropped = staged
+    hits, n_hits, dropped = _read_hits_staged(
+        staged_words, staged_fwd, lib.words, lib.table, k, max_hits,
+        lib.bits, lib.steps,
+    )
+    return hits, n_hits, dropped + pre_dropped
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("k", "max_hits", "bits", "steps", "hit_buffer",
                      "prefilter"),

@@ -30,9 +30,8 @@ from fedrann_tpu.config import PipelineConfig
 from fedrann_tpu.io.fastx import read_fastx
 from fedrann_tpu.io.packing import PackedBucket, PackedReads, pack_reads
 from fedrann_tpu.io.tsv import write_overlaps_path
-from fedrann_tpu.kmers.codec import canonical_window_codes
 from fedrann_tpu.kmers.library_device import build_library_on_device
-from fedrann_tpu.kmers.membership import build_library_index, read_hits
+from fedrann_tpu.kmers.membership import build_library_index
 from fedrann_tpu.knn.topk import knn_exact
 from fedrann_tpu.logging_utils import add_log_file, logger, set_logging_level
 from fedrann_tpu.metrics import MemorySampler, StageMetrics
@@ -105,35 +104,66 @@ def _scatter_embeddings(buf, t_fwd, t_rev, e_fwd, e_rev):
     return buf.at[t_rev].set(e_rev)
 
 
+def _stage_all_candidates(device_chunks, config: PipelineConfig):
+    """Run the shared candidate-extraction stage (canonical windows +
+    sampling hash + per-read compaction) ONCE per chunk; both the count and
+    the embed stages consume the result. Returns [(staged_triple, idx)]."""
+    from fedrann_tpu.kmers.membership import stage_candidates
+
+    keep_all = config.kmer_sample_fraction >= 1.0
+    seed32 = jnp.uint32(np.uint32(config.seed & 0xFFFFFFFF))
+    threshold = jnp.uint32(
+        min(int(config.kmer_sample_fraction * 2.0**32), 2**32 - 1)
+    )
+    out = []
+    for dev_bases, idx in device_chunks:
+        w = dev_bases.shape[1] - config.kmer_size + 1
+        # expected candidate occurrences ~ sample_fraction * W; 4x slack
+        # (the staged stream also feeds counting, so overflow costs
+        # accuracy there — it is detected and warned)
+        hit_buffer = w if keep_all else min(
+            w, 1 << (max(1024, int(4 * config.kmer_sample_fraction * w)) - 1)
+            .bit_length()
+        )
+        staged = stage_candidates(
+            dev_bases, config.kmer_size, hit_buffer, keep_all,
+            seed32, threshold,
+        )
+        out.append((staged, idx))
+    overflow = int(sum(int(jnp.sum(s[2])) for s, _ in out))
+    if overflow:
+        logger.warning(
+            "candidate staging overflowed by %d occurrences; k-mer counts "
+            "may undercount duplicates on highly repetitive reads "
+            "(raise window_batch slack)", overflow,
+        )
+    return out
+
+
 def compute_embeddings(
     packed: PackedReads,
     library: KmerLibrary,
     config: PipelineConfig,
     p_ext: jnp.ndarray,
-    device_chunks=None,
+    staged_chunks,
 ) -> tuple[jnp.ndarray, int]:
     """Stage 3: (2R, d) float32 embeddings in global (read0_fwd, read0_rev,
     ...) row order (reference __main__.py:277-282), DEVICE-resident — the
     matrix never crosses to the host (device->host bandwidth is the scarce
     resource on tunneled TPU hosts; the k-NN consumes it in place).
     Returns (device matrix view, dropped_hits)."""
+    from fedrann_tpu.kmers.membership import read_hits_staged
+
     n_reads = packed.n_reads
     d = p_ext.shape[1]
     buf = jnp.zeros((2 * n_reads + 1, d), dtype=jnp.float32)
     lib_index = build_library_index(library.codes, config.kmer_size)
     p_swapped = swap_halves(p_ext, library.size)
     dropped_parts = []
-    if device_chunks is None:
-        device_chunks = _device_chunks(packed, config.window_batch)
 
-    for dev_bases, idx in device_chunks:
-        w = dev_bases.shape[1] - config.kmer_size + 1
-        # expected hit occurrences per read ~ sample_fraction * W; 3x slack
-        hit_buffer = max(1024, int(3 * config.kmer_sample_fraction * w))
-        hits, _, dropped = read_hits(
-            dev_bases, lib_index, config.kmer_size,
-            config.max_hits_per_read, hit_buffer=hit_buffer,
-            sampling=(config.seed, config.kmer_sample_fraction),
+    for staged, idx in staged_chunks:
+        hits, _, dropped = read_hits_staged(
+            staged, lib_index, config.kmer_size, config.max_hits_per_read
         )
         e_fwd, e_rev = embed_hits_pair(hits, p_ext, p_swapped)
         garbage = 2 * n_reads
@@ -188,13 +218,16 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
             logger.info("loaded %d reads into %d buckets",
                         packed.n_reads, len(packed.buckets))
 
-        device_chunks = _device_chunks(
-            packed, config.window_batch, config.chunk_size
-        )
+        with metrics.stage("stage"):
+            device_chunks = _device_chunks(
+                packed, config.window_batch, config.chunk_size
+            )
+            staged_chunks = _stage_all_candidates(device_chunks, config)
+            del device_chunks  # frees the device base buffers
 
         with metrics.stage("count"):
             library = _load_or_build_library(
-                packed, config, ckpt_dir, device_chunks
+                packed, config, ckpt_dir, staged_chunks
             )
             logger.info("library: %d canonical k-mers (%d features)",
                         library.size, library.n_features)
@@ -211,7 +244,7 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
             emb = _load_embeddings_checkpoint(config, ckpt_dir, packed, library)
             if emb is None:
                 emb, _ = compute_embeddings(
-                    packed, library, config, p_ext, device_chunks
+                    packed, library, config, p_ext, staged_chunks
                 )
                 if ckpt_dir:
                     np.save(os.path.join(ckpt_dir, "embeddings.npy"),
@@ -318,7 +351,7 @@ def _load_embeddings_checkpoint(config, ckpt_dir, packed, library):
 
 def _load_or_build_library(
     packed: PackedReads, config: PipelineConfig, ckpt_dir: Optional[str],
-    device_chunks=None,
+    staged_chunks=None,
 ) -> KmerLibrary:
     """Stage-boundary checkpoint: resume the library if a prior run saved it
     (SURVEY.md §5 checkpoint/resume — absent in the reference)."""
@@ -332,17 +365,17 @@ def _load_or_build_library(
                 logger.info("resuming library from %s", path)
                 return KmerLibrary(codes=data["codes"], counts=data["counts"])
 
-    # canonical windows per chunk stay on device; the sampled library is the
+    # staged sampled candidates stay on device; the sampled library is the
     # only k-mer artifact that ever reaches the host
-    if device_chunks is None:
-        device_chunks = _device_chunks(packed, config.window_batch)
-    canon_chunks = [
-        canonical_window_codes(dev_bases, config.kmer_size)[0]
-        for dev_bases, _ in device_chunks
-    ]
+    if staged_chunks is None:
+        staged_chunks = _stage_all_candidates(
+            _device_chunks(packed, config.window_batch), config
+        )
+    canon_chunks = [staged[0] for staged, _ in staged_chunks]
     library = build_library_on_device(
         canon_chunks, config.kmer_size, config.kmer_min_multiplicity,
         config.kmer_sample_fraction, config.seed,
+        presampled=config.kmer_sample_fraction < 1.0,
     )
     if ckpt_dir:
         np.savez(

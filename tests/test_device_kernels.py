@@ -325,3 +325,30 @@ def test_read_hits_sampling_prefilter_exact(k):
     assert np.array_equal(np.asarray(base[0]), np.asarray(pref[0]))
     assert np.array_equal(np.asarray(base[1]), np.asarray(pref[1]))
     assert np.asarray(pref[2]).sum() == 0
+
+
+@pytest.mark.parametrize("k", [13, 21])
+def test_staged_candidates_path_matches_classic(k):
+    """stage_candidates + read_hits_staged must equal the classic read_hits
+    path exactly (adequately sized buffer)."""
+    from fedrann_tpu.kmers.membership import (
+        build_library_index, read_hits_staged, stage_candidates,
+    )
+
+    sim = simulate_reads(genome_length=8000, coverage=6, mean_read_length=900,
+                         seed=15)
+    seed, frac = 88, 0.25
+    lib = oracle.build_library(sim.sequences, k, 2, frac, seed)
+    packed = pack_reads(
+        [FastxRecord(n, s) for n, s in zip(sim.names, sim.sequences)],
+        length_buckets=(2048,),
+    )
+    bases = jnp.asarray(packed.buckets[0].bases)
+    index = build_library_index(lib.codes, k)
+    classic = read_hits(bases, index, k, 1024)
+    seed32 = jnp.uint32(seed)
+    thr = jnp.uint32(int(frac * 2**32))
+    staged = stage_candidates(bases, k, 1024, False, seed32, thr)
+    got = read_hits_staged(staged, index, k, 1024)
+    assert np.array_equal(np.asarray(classic[0]), np.asarray(got[0]))
+    assert np.array_equal(np.asarray(classic[1]), np.asarray(got[1]))
