@@ -101,3 +101,175 @@ def partition_counts_threshold(
     merged = merge_library_shards(shards)
     keep = merged.counts >= min_multiplicity
     return KmerLibrary(codes=merged.codes[keep], counts=merged.counts[keep])
+
+
+def allgather_library(local: KmerLibrary, min_multiplicity: int
+                      ) -> KmerLibrary:
+    """Exchange per-host shard libraries (built with min_multiplicity=1)
+    over DCN and apply the global threshold. Single-process: identity plus
+    threshold. Multi-process: one small all-gather — the library is the
+    only k-mer artifact that ever crosses hosts."""
+    import jax
+
+    if jax.process_count() == 1:
+        return partition_counts_threshold([local], min_multiplicity)
+
+    from jax.experimental import multihost_utils
+
+    # pad to a common static size (max over hosts) for the collective
+    sizes = multihost_utils.process_allgather(
+        np.asarray([local.size], np.int64)
+    ).ravel()
+    cap = int(sizes.max())
+    codes = np.zeros(cap, np.uint64)
+    counts = np.zeros(cap, np.int64)
+    codes[: local.size] = local.codes
+    counts[: local.size] = local.counts
+    all_codes = multihost_utils.process_allgather(codes)
+    all_counts = multihost_utils.process_allgather(counts)
+    shards = [
+        KmerLibrary(codes=all_codes[i, : int(sizes[i])],
+                    counts=all_counts[i, : int(sizes[i])])
+        for i in range(len(sizes))
+    ]
+    return partition_counts_threshold(shards, min_multiplicity)
+
+
+def run_pipeline_multihost(config):
+    """Multi-host driver (launch one process per host with
+    JAX_COORDINATOR_ADDRESS / --num-processes set; single-process
+    invocation degrades to run_pipeline exactly).
+
+    Per process: parse the shared input, keep the process's read range,
+    stage candidates and build the local library shard (min_multiplicity 1),
+    exchange shards once (allgather_library — the only k-mer artifact that
+    crosses hosts), derive the identical projection from the seed, embed
+    the local rows, then search the local queries against the
+    all-gathered global embedding matrix and write
+    overlaps.rank<k>.tsv. Rank ordering of global embedding rows is
+    (process read ranges are contiguous): row 2g / 2g+1 for global read g.
+
+    The all-gather k-NN is the correctness-first DCN path; the
+    ring-over-global-mesh variant (knn/ring.py, validated on virtual
+    meshes) is the ICI-optimal drop-in once a pod launcher is attached.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fedrann_tpu.pipeline import run_pipeline
+
+    pid, nproc = initialize_distributed()
+    if nproc == 1:
+        return run_pipeline(config)
+
+    import os
+
+    from jax.experimental import multihost_utils
+
+    from fedrann_tpu.io import native as native_io
+    from fedrann_tpu.io.fastx import read_fastx
+    from fedrann_tpu.io.packing import PackedReads, pack_reads
+    from fedrann_tpu.io.tsv import write_overlaps_path
+    from fedrann_tpu.knn.topk import knn_exact, normalize_rows
+    from fedrann_tpu.pipeline import (
+        _device_chunks,
+        _stage_all_candidates,
+        compute_embeddings,
+    )
+    from fedrann_tpu.kmers.library_device import build_library_on_device
+    from fedrann_tpu.project.srp import build_precompute
+
+    # every process parses the shared input (names must be global)
+    if native_io.native_available():
+        packed_all = native_io.pack_reads_native(
+            config.input_path, config.length_buckets
+        )
+    else:
+        packed_all = pack_reads(
+            read_fastx(config.input_path), config.length_buckets
+        )
+    n_reads = packed_all.n_reads
+    start, end = host_read_range(n_reads, pid, nproc)
+
+    # rebuild a local PackedReads over [start, end) with LOCAL indices;
+    # names stay global for the output table
+    local_names = packed_all.names[start:end]
+    local = PackedReads(names=local_names, buckets=[])
+    import numpy as _np
+
+    for b in packed_all.buckets:
+        mask = (b.read_index >= start) & (b.read_index < end)
+        if not mask.any():
+            continue
+        rows = _np.flatnonzero(mask)
+        pad = -(-len(rows) // 8) * 8
+        bases = _np.full((pad, b.bases.shape[1]), 4, dtype=_np.uint8)
+        bases[: len(rows)] = b.bases[rows]
+        idx = _np.full(pad, -1, dtype=_np.int32)
+        idx[: len(rows)] = b.read_index[rows] - start
+        lengths = _np.zeros(pad, dtype=_np.int32)
+        lengths[: len(rows)] = b.lengths[rows]
+        from fedrann_tpu.io.packing import PackedBucket
+
+        local.buckets.append(
+            PackedBucket(bases=bases, lengths=lengths, read_index=idx)
+        )
+
+    chunks = _device_chunks(local, config.window_batch, config.chunk_size)
+    staged = _stage_all_candidates(chunks, config)
+    del chunks
+    # local shard with min_multiplicity=1 so thinly-spread k-mers survive;
+    # the global threshold applies after the count merge
+    shard_lib = build_library_on_device(
+        [s[0] for s, _ in staged], config.kmer_size, 1,
+        config.kmer_sample_fraction, config.seed,
+        presampled=config.kmer_sample_fraction < 1.0,
+    )
+    library = allgather_library(shard_lib, config.kmer_min_multiplicity)
+    logger.info("[rank %d] global library: %d k-mers", pid, library.size)
+
+    p_ext = build_precompute(
+        jnp.asarray(library.counts), config.embedding_dimension,
+        config.projection_seed, config.projection_density,
+    )
+    emb_local, _ = compute_embeddings(local, library, config, p_ext, staged)
+
+    # exchange embeddings (fixed-size blocks, zero-padded to the max range)
+    per = -(-n_reads // nproc)
+    block = np.zeros((2 * per, emb_local.shape[1]), np.float32)
+    block[: emb_local.shape[0]] = np.asarray(emb_local)
+    gathered = multihost_utils.process_allgather(block)
+    emb_global = gathered.reshape(-1, emb_local.shape[1])
+    # strip per-range padding rows back out
+    keep_rows = np.concatenate([
+        np.arange(2 * per * p, 2 * per * p + 2 * (e2 - s2))
+        for p in range(nproc)
+        for s2, e2 in [host_read_range(n_reads, p, nproc)]
+    ])
+    emb_global = emb_global[keep_rows]
+
+    en = normalize_rows(jnp.asarray(emb_global))
+    q = en[2 * start : 2 * end]
+    scores = jax.lax.dot_general(
+        q.astype(jnp.bfloat16) if config.knn_precision == "bf16" else q,
+        en.astype(jnp.bfloat16) if config.knn_precision == "bf16" else en,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    k_nn = min(config.n_neighbors, en.shape[0])
+    top_scores, top_idx = jax.lax.top_k(scores, k_nn)
+    dist = 1.0 - np.asarray(top_scores)
+    idx = np.asarray(top_idx)
+
+    out_path = None
+    if config.output_dir:
+        os.makedirs(config.output_dir, exist_ok=True)
+        out_path = os.path.join(config.output_dir, f"overlaps.rank{pid}.tsv")
+        # query rows are global rows [2*start, 2*end): shift indices for
+        # the shared writer by passing global names and offset rows
+        full_idx = np.full((2 * n_reads, k_nn), -1, np.int64)
+        full_dist = np.ones((2 * n_reads, k_nn), np.float32)
+        full_idx[2 * start : 2 * end] = idx
+        full_dist[2 * start : 2 * end] = dist
+        write_overlaps_path(out_path, packed_all.names, full_idx, full_dist)
+    return library, emb_local, idx, dist, out_path

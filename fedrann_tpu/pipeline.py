@@ -130,7 +130,11 @@ def _stage_all_candidates(device_chunks, config: PipelineConfig):
             seed32, threshold,
         )
         out.append((staged, idx))
-    overflow = int(sum(int(jnp.sum(s[2])) for s, _ in out))
+    # ONE device round-trip for the overflow total (a per-chunk int() costs
+    # a full tunnel RTT each on remote hosts)
+    overflow = int(jax.device_get(
+        sum(jnp.sum(s[2]) for s, _ in out)
+    )) if out else 0
     if overflow:
         logger.warning(
             "candidate staging overflowed by %d occurrences; k-mer counts "

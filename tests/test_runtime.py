@@ -45,3 +45,26 @@ def test_merge_single_shard_identity():
     )
     out = merge_library_shards([lib])
     assert out is lib
+
+
+def test_multihost_driver_single_process_identity(tmp_path):
+    """With one process, run_pipeline_multihost must equal run_pipeline."""
+    from fedrann_tpu.cli import config_from_args
+    from fedrann_tpu.parallel.runtime import run_pipeline_multihost
+    from fedrann_tpu.pipeline import run_pipeline
+    from fedrann_tpu.sim import write_fasta
+
+    sim = simulate_reads(genome_length=10000, coverage=5,
+                         mean_read_length=1000, seed=52)
+    path = str(tmp_path / "r.fasta")
+    write_fasta(path, sim.names, sim.sequences)
+    args = ["-i", path, "-o", str(tmp_path / "o"), "-k", "13",
+            "--kmer-sample-fraction", "0.3", "-n", "64",
+            "--nndescent-n-neighbors", "5", "--seed", "9",
+            "--length-buckets", "2048", "--knn-query-tile", "64"]
+    r_multi = run_pipeline_multihost(config_from_args(args))
+    r_single = run_pipeline(config_from_args(
+        args[:3] + [str(tmp_path / "o2")] + args[4:]
+    ))
+    assert np.array_equal(r_multi.library.codes, r_single.library.codes)
+    assert np.array_equal(r_multi.neighbor_indices, r_single.neighbor_indices)
