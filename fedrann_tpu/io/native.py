@@ -74,8 +74,65 @@ def load_native() -> Optional[ctypes.CDLL]:
         ctypes.c_uint64,                  # n_rows
     ]
     lib.fastx_write_overlaps.restype = ctypes.c_int64
+    lib.fastx_fill_bucket_packed.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),   # codes
+        ctypes.POINTER(ctypes.c_uint64),  # offsets
+        ctypes.POINTER(ctypes.c_int32),   # rows
+        ctypes.c_uint64,                  # n_rows
+        ctypes.c_uint64,                  # bucket_len
+        ctypes.POINTER(ctypes.c_uint8),   # out_packed
+        ctypes.POINTER(ctypes.c_uint8),   # out_valid
+    ]
+    lib.fastx_fill_bucket_packed.restype = None
+    lib.fastx_write_overlaps_matrix.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_char),
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_int32),   # idx (2R, k)
+        ctypes.POINTER(ctypes.c_float),   # dist (2R, k)
+        ctypes.c_uint64,                  # n_rows (2R)
+        ctypes.c_uint64,                  # k
+    ]
+    lib.fastx_write_overlaps_matrix.restype = ctypes.c_int64
     _lib = lib
     return lib
+
+
+def _names_blob(names):
+    blob = b"\x00".join(n.encode("ascii") for n in names) + b"\x00"
+    offsets = np.zeros(len(names), dtype=np.uint64)
+    pos = 0
+    for i, n in enumerate(names):
+        offsets[i] = pos
+        pos += len(n) + 1
+    return blob, offsets
+
+
+def write_overlaps_matrix_native(
+    path: str, names, idx: np.ndarray, dist: np.ndarray
+) -> int:
+    """C writer over the raw (2R, k) neighbor matrices; self rows and
+    negative targets are skipped inside the C loop (no numpy filtering)."""
+    lib = load_native()
+    if lib is None:
+        raise RuntimeError("native library not built")
+    blob, offsets = _names_blob(names)
+    i32 = np.ascontiguousarray(idx, dtype=np.int32)
+    d32 = np.ascontiguousarray(dist, dtype=np.float32)
+    rc = lib.fastx_write_overlaps_matrix(
+        path.encode(),
+        ctypes.cast(ctypes.create_string_buffer(blob, len(blob)),
+                    ctypes.POINTER(ctypes.c_char)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(names),
+        i32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        d32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        i32.shape[0], i32.shape[1],
+    )
+    if rc < 0:
+        raise RuntimeError(f"fastx_write_overlaps_matrix failed: {rc}")
+    return int(rc)
 
 
 def write_overlaps_native(
@@ -152,9 +209,13 @@ def pack_reads_native(
     path: str,
     length_buckets: Sequence[int],
     pad_rows_to: int = 8,
+    bit_packed: bool = False,
 ) -> PackedReads:
     """Native-parse + vectorized numpy bucketing; behaviorally identical to
-    pack_reads(read_fastx(path), ...)."""
+    pack_reads(read_fastx(path), ...). bit_packed=True stores the 2-bit
+    packed form (4 bases/byte + validity bits) instead of the byte matrix —
+    ~3.6x smaller host memory and host->device upload; unpacked on device
+    (kmers.codec.unpack_bases)."""
     names, codes, offsets = parse_fastx_native(path)
     buckets = sorted(length_buckets)
     lengths = np.diff(offsets).astype(np.int64)
@@ -173,11 +234,31 @@ def pack_reads_native(
         if len(rows) == 0:
             continue
         padded_rows = -(-len(rows) // pad_rows_to) * pad_rows_to
-        mat = full_fast((padded_rows, bucket_len), INVALID, np.uint8)
         blens = np.minimum(lengths[rows], bucket_len)
         lib = load_native()
         rows32 = np.ascontiguousarray(rows, dtype=np.int32)
         offsets64 = np.ascontiguousarray(offsets, dtype=np.uint64)
+        lens_arr = np.zeros(padded_rows, dtype=np.int32)
+        lens_arr[: len(rows)] = blens
+        read_index = full_fast(padded_rows, -1, np.int32)
+        read_index[: len(rows)] = rows
+        if bit_packed:
+            pk = np.zeros((padded_rows, (bucket_len + 3) // 4), np.uint8)
+            vd = np.zeros((padded_rows, (bucket_len + 7) // 8), np.uint8)
+            lib.fastx_fill_bucket_packed(
+                codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                offsets64.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                rows32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(rows), bucket_len,
+                pk.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                vd.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
+            out.append(PackedBucket(
+                bases=None, lengths=lens_arr, read_index=read_index,
+                packed_bases=pk, valid_bits=vd, length=bucket_len,
+            ))
+            continue
+        mat = full_fast((padded_rows, bucket_len), INVALID, np.uint8)
         lib.fastx_fill_bucket(
             codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             offsets64.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
@@ -185,10 +266,7 @@ def pack_reads_native(
             len(rows), bucket_len,
             mat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
-        lens_arr = np.zeros(padded_rows, dtype=np.int32)
-        lens_arr[: len(rows)] = blens
-        read_index = full_fast(padded_rows, -1, np.int32)
-        read_index[: len(rows)] = rows
-        out.append(PackedBucket(bases=mat, lengths=lens_arr, read_index=read_index))
+        out.append(PackedBucket(bases=mat, lengths=lens_arr, read_index=read_index,
+                                length=bucket_len))
 
     return PackedReads(names=names, buckets=out, n_truncated=n_truncated)

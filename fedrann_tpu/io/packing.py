@@ -48,11 +48,19 @@ def encode_bases(seq: str) -> np.ndarray:
 
 @dataclasses.dataclass
 class PackedBucket:
-    """Reads padded to one bucket length."""
+    """Reads padded to one bucket length.
 
-    bases: np.ndarray       # (R_b, L_bucket) uint8, INVALID-padded
-    lengths: np.ndarray     # (R_b,) int32 true lengths (possibly truncated)
-    read_index: np.ndarray  # (R_b,) int32 index into the global read order
+    Either `bases` (1 byte/base) or the bit-packed pair
+    (`packed_bases` 4 bases/byte + `valid_bits` 1 bit/base) is populated;
+    the bit-packed form shrinks host->device uploads ~3.6x and is unpacked
+    on device (fedrann_tpu.kmers.codec.unpack_bases)."""
+
+    bases: np.ndarray | None       # (R_b, L_bucket) uint8, INVALID-padded
+    lengths: np.ndarray            # (R_b,) int32 true lengths
+    read_index: np.ndarray         # (R_b,) int32 global read order index
+    packed_bases: np.ndarray | None = None  # (R_b, ceil(L/4)) uint8
+    valid_bits: np.ndarray | None = None    # (R_b, ceil(L/8)) uint8
+    length: int = 0                # L_bucket (needed when bases is None)
 
 
 @dataclasses.dataclass
@@ -114,6 +122,7 @@ def pack_reads(
         lengths[:n_rows] = per_bucket_len[b]
         read_index = full_fast(padded_rows, -1, np.int32)
         read_index[:n_rows] = per_bucket_idx[b]
-        out.append(PackedBucket(bases=mat, lengths=lengths, read_index=read_index))
+        out.append(PackedBucket(bases=mat, lengths=lengths, read_index=read_index,
+                                length=buckets[b]))
 
     return PackedReads(names=names, buckets=out, n_truncated=n_truncated)

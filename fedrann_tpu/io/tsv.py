@@ -68,17 +68,18 @@ def write_overlaps_path(
     """Write overlaps.tsv to a path; C writer when the native library is
     built (python writers cost seconds per million rows on throttled
     hosts), python fallback otherwise."""
-    q_rows, t_rows, ranks, dists = _filter_rows(
-        np.asarray(neighbor_indices), np.asarray(neighbor_distances)
-    )
     from fedrann_tpu.io import native as native_io
 
     if native_io.native_available():
         with open(path, "w") as f:
             f.write(HEADER)
-        return native_io.write_overlaps_native(
-            path, list(names), q_rows, t_rows, ranks, dists
+        return native_io.write_overlaps_matrix_native(
+            path, list(names), np.asarray(neighbor_indices),
+            np.asarray(neighbor_distances),
         )
+    q_rows, t_rows, ranks, dists = _filter_rows(
+        np.asarray(neighbor_indices), np.asarray(neighbor_distances)
+    )
     with open(path, "w") as f:
         f.write(HEADER)
         for q, t, r, d in zip(q_rows, t_rows, ranks, dists):

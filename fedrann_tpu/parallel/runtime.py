@@ -212,7 +212,8 @@ def run_pipeline_multihost(config):
         from fedrann_tpu.io.packing import PackedBucket
 
         local.buckets.append(
-            PackedBucket(bases=bases, lengths=lengths, read_index=idx)
+            PackedBucket(bases=bases, lengths=lengths, read_index=idx,
+                         length=b.bases.shape[1] if b.bases is not None else b.length)
         )
 
     chunks = _device_chunks(local, config.window_batch, config.chunk_size)

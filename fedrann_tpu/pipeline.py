@@ -80,19 +80,38 @@ def _device_chunks(packed: PackedReads, window_batch: int,
     chunk_size (the reference's --chunk-size, reads per processing chunk)
     caps the rows per chunk when given.
     Returns [(device bases (rows, L) uint8, host read_index (rows,))]."""
+    from fedrann_tpu.io.packing import INVALID
+    from fedrann_tpu.kmers.codec import unpack_bases
+
     out = []
     for bucket in packed.buckets:
-        rows = max(8, (window_batch // bucket.bases.shape[1]) // 8 * 8)
+        length = bucket.length or (
+            bucket.bases.shape[1] if bucket.bases is not None else 0
+        )
+        rows = max(8, (window_batch // length) // 8 * 8)
         if chunk_size:
             rows = max(8, min(rows, chunk_size // 8 * 8 or 8))
-        for start in range(0, bucket.bases.shape[0], rows):
-            from fedrann_tpu.io.packing import INVALID
-
-            chunk = _pad_chunk(bucket.bases[start : start + rows], rows, INVALID)
+        n_rows_total = bucket.read_index.shape[0]
+        for start in range(0, n_rows_total, rows):
             idx = _pad_chunk(
                 bucket.read_index[start : start + rows].reshape(-1, 1), rows, -1
             ).ravel()
-            out.append((jnp.asarray(chunk), idx))
+            if bucket.bases is not None:
+                chunk = _pad_chunk(
+                    bucket.bases[start : start + rows], rows, INVALID
+                )
+                out.append((jnp.asarray(chunk), idx))
+            else:
+                # bit-packed upload (~3.6x less host->device traffic),
+                # unpacked on device; zero-padding rows decode as invalid
+                pk = _pad_chunk(
+                    bucket.packed_bases[start : start + rows], rows, 0
+                )
+                vd = _pad_chunk(
+                    bucket.valid_bits[start : start + rows], rows, 0
+                )
+                dev = unpack_bases(jnp.asarray(pk), jnp.asarray(vd), length)
+                out.append((dev, idx))
     return out
 
 
@@ -213,7 +232,7 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
 
             if native_io.native_available():
                 packed = native_io.pack_reads_native(
-                    config.input_path, config.length_buckets
+                    config.input_path, config.length_buckets, bit_packed=True
                 )
             else:
                 packed = pack_reads(

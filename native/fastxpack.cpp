@@ -197,6 +197,75 @@ void fastx_fill_bucket(const uint8_t* codes, const uint64_t* offsets,
   }
 }
 
+// Fill a 2-bit-packed bucket: out_packed[i] holds ceil(bucket_len/4) bytes
+// (4 bases each, little-endian within the byte: base j in bits 2*(j%4)),
+// out_valid holds ceil(bucket_len/8) validity bits (bit j%8 of byte j/8).
+// Padding/invalid bases pack as A with a cleared validity bit. Shrinks the
+// host->device upload 4x (plus 1/8 for the mask) — the upload is a
+// first-order cost on tunneled TPU hosts.
+void fastx_fill_bucket_packed(const uint8_t* codes, const uint64_t* offsets,
+                              const int32_t* rows, uint64_t n_rows,
+                              uint64_t bucket_len, uint8_t* out_packed,
+                              uint8_t* out_valid) {
+  uint64_t packed_stride = (bucket_len + 3) / 4;
+  uint64_t valid_stride = (bucket_len + 7) / 8;
+  for (uint64_t i = 0; i < n_rows; ++i) {
+    uint64_t r = (uint64_t)rows[i];
+    uint64_t len = offsets[r + 1] - offsets[r];
+    if (len > bucket_len) len = bucket_len;
+    const uint8_t* src = codes + offsets[r];
+    uint8_t* pk = out_packed + i * packed_stride;
+    uint8_t* vd = out_valid + i * valid_stride;
+    for (uint64_t j = 0; j < len; ++j) {
+      uint8_t c = src[j];
+      if (c < 4) {
+        pk[j >> 2] |= (uint8_t)(c << ((j & 3) * 2));
+        vd[j >> 3] |= (uint8_t)(1u << (j & 7));
+      }
+      // invalid: leave 0 bits (A) with validity 0
+    }
+  }
+}
+
+// Overlap writer over the raw neighbor matrices: skips self rows
+// (t == 2R-row index) and negative/unset targets internally, so the host
+// does zero numpy row filtering.
+int64_t fastx_write_overlaps_matrix(const char* path, const char* names,
+                                    const uint64_t* name_offsets,
+                                    uint64_t n_names, const int32_t* idx,
+                                    const float* dist, uint64_t n_rows,
+                                    uint64_t k) {
+  FILE* f = fopen(path, "ab");
+  if (!f) return -1;
+  static char buf2[1 << 20];
+  setvbuf(f, buf2, _IOFBF, sizeof(buf2));
+  int64_t written = 0;
+  for (uint64_t q = 0; q < n_rows; ++q) {
+    uint64_t qn = q >> 1;
+    if (qn >= n_names) {
+      fclose(f);
+      return -2;
+    }
+    const char* qname = names + name_offsets[qn];
+    char qo = (q & 1) ? '-' : '+';
+    for (uint64_t r = 0; r < k; ++r) {
+      int32_t t = idx[q * k + r];
+      if (t < 0 || (uint64_t)t == q) continue;
+      uint64_t tn = (uint64_t)t >> 1;
+      if (tn >= n_names) {
+        fclose(f);
+        return -2;
+      }
+      fprintf(f, "%s\t%c\t%s\t%c\t%llu\t%.9g\n", qname, qo,
+              names + name_offsets[tn], (t & 1) ? '-' : '+',
+              (unsigned long long)r, (double)dist[q * k + r]);
+      ++written;
+    }
+  }
+  fclose(f);
+  return written;
+}
+
 // Append overlap rows to an opened-for-write FILE (path), reference TSV
 // contract (6 columns; orientation = row parity). Returns rows written or
 // negative errno-style code. Python-level writers on the throttled host

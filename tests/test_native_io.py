@@ -87,3 +87,43 @@ def test_native_overlaps_writer_matches_python(tmp_path):
     n_c = write_overlaps_path(str(p), names, idx, dist)
     assert n_c == n_py
     assert p.read_text() == buf.getvalue()
+
+
+def test_bit_packed_pack_and_unpack_matches():
+    """bit_packed parse + device unpack must reproduce the byte matrix."""
+    import jax.numpy as jnp
+
+    from fedrann_tpu.kmers.codec import unpack_bases
+
+    sim = simulate_reads(genome_length=15000, coverage=4,
+                         mean_read_length=1200, seed=46)
+    import tempfile, os
+    tmp = tempfile.mkdtemp()
+    path = os.path.join(tmp, "r.fasta")
+    write_fasta(path, sim.names, sim.sequences)
+    plain = native.pack_reads_native(path, (2048,))
+    packed = native.pack_reads_native(path, (2048,), bit_packed=True)
+    for bp, bb in zip(packed.buckets, plain.buckets):
+        assert bp.bases is None and bp.packed_bases is not None
+        got = np.asarray(unpack_bases(
+            jnp.asarray(bp.packed_bases), jnp.asarray(bp.valid_bits),
+            bp.length,
+        ))
+        assert np.array_equal(got, bb.bases)
+
+
+def test_matrix_writer_matches_python(tmp_path):
+    import io as _io
+
+    from fedrann_tpu.io.tsv import write_overlaps_path, write_overlaps_tsv
+
+    rng = np.random.default_rng(71)
+    names = [f"rd{i}" for i in range(30)]
+    idx = rng.integers(-1, 60, size=(60, 4)).astype(np.int32)
+    dist = rng.random((60, 4)).astype(np.float32)
+    buf = _io.StringIO()
+    n_py = write_overlaps_tsv(buf, names, idx, dist)
+    p = tmp_path / "m.tsv"
+    n_c = write_overlaps_path(str(p), names, idx, dist)
+    assert n_c == n_py
+    assert p.read_text() == buf.getvalue()
