@@ -24,6 +24,7 @@ class BenchConfig:
     n_neighbors: int = 50
     error_rate: float = 0.05
     length_bucket: int = 16384
+    topk_method: str = "exact"  # 'approx' = lax.approx_max_k block selection
     # BASELINE.json rung this models
     models: str = ""
 
@@ -42,11 +43,12 @@ CONFIGS = {
     "dmel": BenchConfig(
         name="dmel", genome=30_000_000, coverage=30, read_len=15000, k=21,
         sample_fraction=0.005, error_rate=0.01, length_bucket=65536,
+        topk_method="approx",
         models="D. melanogaster HiFi ~30x, k=21 (two-word code path)",
     ),
     "chr1": BenchConfig(
         name="chr1", genome=120_000_000, coverage=30, read_len=10000, k=15,
-        sample_fraction=0.005,
+        sample_fraction=0.005, topk_method="approx",
         models="Human chr1 ONT ~30x (multi-host data-parallel rung)",
     ),
 }
