@@ -245,8 +245,11 @@ def _read_hits_staged(staged_words, staged_fwd, lib_words, table, k,
 
 def read_hits_staged(staged, lib: "LibraryIndex", k: int, max_hits: int):
     """Forward-scan feature rows from staged candidates; staged is the
-    (words, is_fwd, dropped) triple from stage_candidates."""
+    (words, is_fwd, dropped) triple from stage_candidates. The output width
+    is capped by the staged width (unique hits cannot exceed candidate
+    occurrences), keeping downstream embedding gathers tight."""
     staged_words, staged_fwd, pre_dropped = staged
+    max_hits = min(max_hits, staged_words[0].shape[1])
     hits, n_hits, dropped = _read_hits_staged(
         staged_words, staged_fwd, lib.words, lib.table, k, max_hits,
         lib.bits, lib.steps,

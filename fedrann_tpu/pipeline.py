@@ -137,11 +137,13 @@ def _stage_all_candidates(device_chunks, config: PipelineConfig):
     out = []
     for dev_bases, idx in device_chunks:
         w = dev_bases.shape[1] - config.kmer_size + 1
-        # expected candidate occurrences ~ sample_fraction * W; 4x slack
-        # (the staged stream also feeds counting, so overflow costs
-        # accuracy there — it is detected and warned)
+        # expected candidate occurrences for a FULL-width read are
+        # ~sample_fraction * W with sigma ~ sqrt(frac*W); 2.5x covers the
+        # worst case by >3 sigma while keeping the staged buffers (which
+        # every downstream gather/sort scales with) tight. Overflow is
+        # detected and warned.
         hit_buffer = w if keep_all else min(
-            w, 1 << (max(1024, int(4 * config.kmer_sample_fraction * w)) - 1)
+            w, 1 << (max(1024, int(2.5 * config.kmer_sample_fraction * w)) - 1)
             .bit_length()
         )
         staged = stage_candidates(
