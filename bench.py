@@ -24,7 +24,7 @@ import time
 
 
 def main() -> int:
-    genome = int(os.environ.get("BENCH_GENOME", 2_000_000))
+    genome = int(os.environ.get("BENCH_GENOME", 5_000_000))
     coverage = float(os.environ.get("BENCH_COVERAGE", 12))
     read_len = int(os.environ.get("BENCH_READ_LEN", 8000))
     baseline_reads = int(os.environ.get("BENCH_BASELINE_READS", 300))
