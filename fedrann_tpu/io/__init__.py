@@ -6,4 +6,7 @@ from fedrann_tpu.io.fastx import (  # noqa: F401
     sniff_format,
 )
 from fedrann_tpu.io.packing import PackedReads, pack_reads  # noqa: F401
-from fedrann_tpu.io.tsv import write_overlaps_tsv  # noqa: F401
+from fedrann_tpu.io.tsv import (  # noqa: F401
+    write_overlaps_path,
+    write_overlaps_tsv,
+)

@@ -51,6 +51,10 @@ def load_native() -> Optional[ctypes.CDLL]:
     lib = ctypes.CDLL(_SO_PATH)
     lib.fastx_parse.argtypes = [ctypes.c_char_p, ctypes.POINTER(_FastxParsed)]
     lib.fastx_parse.restype = ctypes.c_int
+    lib.fastx_parse_threads.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(_FastxParsed)
+    ]
+    lib.fastx_parse_threads.restype = ctypes.c_int
     lib.fastx_free.argtypes = [ctypes.POINTER(_FastxParsed)]
     lib.fastx_free.restype = None
     lib.fastx_fill_bucket.argtypes = [
@@ -179,14 +183,17 @@ def native_available() -> bool:
     return load_native() is not None
 
 
-def parse_fastx_native(path: str):
+def parse_fastx_native(path: str, threads: int = 1):
     """Parse with the C++ library. Returns (names list, codes uint8 array,
-    offsets uint64 array). Raises on parse errors."""
+    offsets uint64 array). Raises on parse errors. threads > 1 parallelizes
+    plain-FASTA parsing (segmented at record starts); gzip/FASTQ inputs
+    stream single-threaded."""
     lib = load_native()
     if lib is None:
         raise RuntimeError("native fastxpack library not built (make -C native)")
     parsed = _FastxParsed()
-    rc = lib.fastx_parse(path.encode(), ctypes.byref(parsed))
+    rc = lib.fastx_parse_threads(path.encode(), int(max(1, threads)),
+                                 ctypes.byref(parsed))
     if rc != 0:
         raise ValueError(f"fastx_parse failed with code {rc} for {path}")
     try:
@@ -210,13 +217,14 @@ def pack_reads_native(
     length_buckets: Sequence[int],
     pad_rows_to: int = 8,
     bit_packed: bool = False,
+    threads: int = 1,
 ) -> PackedReads:
     """Native-parse + vectorized numpy bucketing; behaviorally identical to
     pack_reads(read_fastx(path), ...). bit_packed=True stores the 2-bit
     packed form (4 bases/byte + validity bits) instead of the byte matrix —
     ~3.6x smaller host memory and host->device upload; unpacked on device
     (kmers.codec.unpack_bases)."""
-    names, codes, offsets = parse_fastx_native(path)
+    names, codes, offsets = parse_fastx_native(path, threads)
     buckets = sorted(length_buckets)
     lengths = np.diff(offsets).astype(np.int64)
     bucket_of = np.searchsorted(buckets, lengths)

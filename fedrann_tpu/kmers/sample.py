@@ -2,16 +2,14 @@
 
 Replaces the reference's jellyfish dump -L <min> | awk 'rand() < p' stream
 (count_kmers.py:104-123). The awk stream is order-dependent; the hash
-threshold (keep iff splitmix64(code ^ mix(seed)) < p * 2^64) is order-free
+threshold (keep iff sample_hash32(code, seed) < p * 2^32, a murmur3-style
+uint32 mix over the code words — see oracle.sample_hash32) is order-free
 and deterministic, so every host/chip reconstructs the identical library
 with zero communication (SURVEY.md §7 "Hard parts").
 """
 
 from __future__ import annotations
 
-import dataclasses
-
-import jax.numpy as jnp
 import numpy as np
 
 from fedrann_tpu.oracle import KmerLibrary, sample_mask

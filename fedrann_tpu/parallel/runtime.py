@@ -170,7 +170,7 @@ def run_pipeline_multihost(config):
     from fedrann_tpu.io.fastx import read_fastx
     from fedrann_tpu.io.packing import PackedReads, pack_reads
     from fedrann_tpu.io.tsv import write_overlaps_path
-    from fedrann_tpu.knn.topk import knn_exact, normalize_rows
+    from fedrann_tpu.knn.topk import normalize_rows
     from fedrann_tpu.pipeline import (
         _device_chunks,
         _stage_all_candidates,

@@ -234,7 +234,8 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
 
             if native_io.native_available():
                 packed = native_io.pack_reads_native(
-                    config.input_path, config.length_buckets, bit_packed=True
+                    config.input_path, config.length_buckets, bit_packed=True,
+                    threads=max(1, config.threads),
                 )
             else:
                 packed = pack_reads(

@@ -19,6 +19,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -147,6 +148,112 @@ int parse(const char* path, Buffers* b) {
   return 0;
 }
 
+// ---- multi-threaded plain-FASTA parsing --------------------------------
+//
+// The whole file is read into one buffer, split at '>' record starts into
+// near-equal segments, and each segment parses into its own Buffers in a
+// worker thread; results concatenate in file order. Gzip and FASTQ inputs
+// stay on the single-threaded streaming path (gzip cannot be split;
+// FASTQ '@' is ambiguous with quality lines).
+
+bool looks_plain_fasta(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  unsigned char magic[2] = {0, 0};
+  size_t n = fread(magic, 1, 2, f);
+  fclose(f);
+  return n == 2 && magic[0] == '>' && !(magic[0] == 0x1f && magic[1] == 0x8b);
+}
+
+void parse_fasta_span(const char* data, size_t begin, size_t end, Buffers* b) {
+  init_lut();
+  size_t i = begin;
+  while (i < end) {
+    // at a '>' header
+    size_t line_end = i;
+    while (line_end < end && data[line_end] != '\n') ++line_end;
+    // name = first token after '>'
+    size_t ns = i + 1, ne = ns;
+    while (ne < line_end && data[ne] != ' ' && data[ne] != '\t' &&
+           data[ne] != '\r')
+      ++ne;
+    b->name_offsets.push_back(b->names.size());
+    b->names.insert(b->names.end(), data + ns, data + ne);
+    b->names.push_back('\0');
+    // sequence lines until next '>' or end
+    size_t base = b->codes.size();
+    i = (line_end < end) ? line_end + 1 : end;
+    while (i < end && data[i] != '>') {
+      size_t le = i;
+      while (le < end && data[le] != '\n') ++le;
+      size_t stop = le;
+      while (stop > i && (data[stop - 1] == '\r')) --stop;
+      size_t cur = b->codes.size();
+      b->codes.resize(cur + (stop - i));
+      uint8_t* dst = b->codes.data() + cur;
+      for (size_t j = i; j < stop; ++j) dst[j - i] = g_lut[(unsigned char)data[j]];
+      i = (le < end) ? le + 1 : end;
+    }
+    (void)base;
+    b->offsets.push_back(b->codes.size());
+  }
+}
+
+int parse_mt(const char* path, int threads, Buffers* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<char> data((size_t)sz);
+  if (fread(data.data(), 1, (size_t)sz, f) != (size_t)sz) {
+    fclose(f);
+    return -5;
+  }
+  fclose(f);
+  if (sz == 0) return -2;
+
+  // segment boundaries at '\n>' (record starts)
+  std::vector<size_t> starts;
+  starts.push_back(0);
+  size_t target = (size_t)sz / (size_t)threads;
+  for (int t = 1; t < threads; ++t) {
+    size_t pos = (size_t)t * target;
+    while (pos + 1 < (size_t)sz &&
+           !(data[pos] == '\n' && data[pos + 1] == '>'))
+      ++pos;
+    if (pos + 1 < (size_t)sz) starts.push_back(pos + 1);
+  }
+  starts.push_back((size_t)sz);
+
+  size_t n_seg = starts.size() - 1;
+  std::vector<Buffers> parts(n_seg);
+  std::vector<std::thread> pool;
+  for (size_t s = 0; s < n_seg; ++s) {
+    pool.emplace_back([&, s]() {
+      // skip leading whitespace/newlines in segment 0
+      size_t begin = starts[s];
+      while (begin < starts[s + 1] && data[begin] != '>') ++begin;
+      parts[s].offsets.clear();  // span parser appends per-record ends only
+      parse_fasta_span(data.data(), begin, starts[s + 1], &parts[s]);
+    });
+  }
+  for (auto& th : pool) th.join();
+
+  // concatenate in order, rebasing offsets
+  out->offsets.push_back(0);
+  for (auto& p : parts) {
+    uint64_t code_base = out->codes.size();
+    uint64_t name_base = out->names.size();
+    out->codes.insert(out->codes.end(), p.codes.begin(), p.codes.end());
+    out->names.insert(out->names.end(), p.names.begin(), p.names.end());
+    for (uint64_t off : p.offsets) out->offsets.push_back(code_base + off);
+    for (uint64_t off : p.name_offsets)
+      out->name_offsets.push_back(name_base + off);
+  }
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -162,9 +269,16 @@ struct FastxParsed {
 };
 
 // Returns 0 on success; fills *out. Free with fastx_free.
-int fastx_parse(const char* path, FastxParsed* out) {
+// threads > 1 uses the segmented parallel parser for plain FASTA inputs
+// (gzip/FASTQ fall back to the streaming parser).
+int fastx_parse_threads(const char* path, int threads, FastxParsed* out) {
   Buffers b;
-  int rc = parse(path, &b);
+  int rc;
+  if (threads > 1 && looks_plain_fasta(path)) {
+    rc = parse_mt(path, threads, &b);
+  } else {
+    rc = parse(path, &b);
+  }
   if (rc != 0) return rc;
   out->n_reads = b.offsets.size() - 1;
   out->total_bases = b.codes.size();
@@ -181,6 +295,10 @@ int fastx_parse(const char* path, FastxParsed* out) {
   memcpy(out->name_offsets, b.name_offsets.data(),
          out->n_reads * sizeof(uint64_t));
   return 0;
+}
+
+int fastx_parse(const char* path, FastxParsed* out) {
+  return fastx_parse_threads(path, 1, out);
 }
 
 // Fill a padded bucket matrix: out[i, :len_i] = codes[offsets[rows[i]] ...],

@@ -127,3 +127,20 @@ def test_matrix_writer_matches_python(tmp_path):
     n_c = write_overlaps_path(str(p), names, idx, dist)
     assert n_c == n_py
     assert p.read_text() == buf.getvalue()
+
+
+def test_threaded_parse_matches_single(tmp_path):
+    sim = simulate_reads(genome_length=40000, coverage=6,
+                         mean_read_length=1500, seed=47)
+    path = str(tmp_path / "r.fasta")
+    write_fasta(path, sim.names, sim.sequences)
+    n1, c1, o1 = native.parse_fastx_native(path, threads=1)
+    n4, c4, o4 = native.parse_fastx_native(path, threads=4)
+    assert n1 == n4
+    assert np.array_equal(o1, o4)
+    assert np.array_equal(c1, c4)
+    # gz input silently falls back to streaming
+    gz = str(tmp_path / "r.fasta.gz")
+    write_fasta(gz, sim.names, sim.sequences)
+    ng, cg, og = native.parse_fastx_native(gz, threads=4)
+    assert ng == n1 and np.array_equal(cg, c1)
