@@ -74,6 +74,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default="ring", help="Candidate movement across chips.")
     p.add_argument("--length-buckets", type=str, default="4096,16384,65536,262144",
                    help="Comma-separated padded read-length buckets.")
+    p.add_argument("--import-library", type=str, default=None,
+                   help="Use a reference-run k-mer library (jellyfish-dump "
+                        "FASTA) instead of building one (golden parity).")
+    p.add_argument("--import-projection", type=str, default=None,
+                   help="Use a reference-run precompute matrix (scipy .npz) "
+                        "instead of generating the SRP (golden parity).")
     p.add_argument("--profile", action="store_true",
                    help="Write a jax.profiler trace to <output-dir>/trace.")
     p.add_argument("--log-level", default="INFO")
@@ -107,6 +113,8 @@ def config_from_args(argv: list[str] | None = None) -> PipelineConfig:
         knn_topk_method=args.knn_topk_method,
         knn_shard_strategy=args.knn_shard_strategy,
         length_buckets=tuple(int(x) for x in args.length_buckets.split(",")),
+        import_library=args.import_library,
+        import_projection=args.import_projection,
         profile=args.profile,
         log_level=args.log_level,
     )

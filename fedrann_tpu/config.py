@@ -76,6 +76,13 @@ class PipelineConfig:
     checkpoint: bool = False
     # Mesh shape for multi-chip runs; None = all local devices on one axis.
     mesh_shape: Optional[Sequence[int]] = None
+    # Golden-parity imports: use a reference run's sampled k-mer library
+    # (jellyfish-dump FASTA, compat.load_reference_library) and/or its
+    # precompute matrix (scipy .npz, compat.load_reference_precompute)
+    # instead of building our own — isolates embedding-level parity from
+    # sampling differences (SURVEY.md §7.3).
+    import_library: Optional[str] = None
+    import_projection: Optional[str] = None
     log_level: str = "INFO"
 
     @property

@@ -259,12 +259,26 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                         library.size, library.n_features)
 
         with metrics.stage("project"):
-            p_ext = build_precompute(
-                jnp.asarray(library.counts),
-                config.embedding_dimension,
-                config.projection_seed,
-                config.projection_density,
-            )
+            if config.import_projection:
+                from fedrann_tpu.compat import load_reference_precompute
+
+                p_ext = jnp.asarray(
+                    load_reference_precompute(config.import_projection)
+                )
+                if p_ext.shape[0] != library.n_features + 1:
+                    raise ValueError(
+                        f"imported projection has {p_ext.shape[0] - 1} "
+                        f"feature rows; library needs {library.n_features}"
+                    )
+                logger.info("imported reference projection %s %s",
+                            config.import_projection, p_ext.shape)
+            else:
+                p_ext = build_precompute(
+                    jnp.asarray(library.counts),
+                    config.embedding_dimension,
+                    config.projection_seed,
+                    config.projection_density,
+                )
 
         with metrics.stage("embed"):
             emb = _load_embeddings_checkpoint(config, ckpt_dir, packed, library)
@@ -352,6 +366,8 @@ def _embed_fingerprint(config: PipelineConfig, packed: PackedReads,
         "dim": config.embedding_dimension,
         "projection_seed": config.projection_seed,
         "projection_density": config.projection_density,
+        "import_library": config.import_library,
+        "import_projection": config.import_projection,
         "max_hits": config.max_hits_per_read,
         "n_reads": packed.n_reads,
         "library_size": library.size,
@@ -381,6 +397,13 @@ def _load_or_build_library(
 ) -> KmerLibrary:
     """Stage-boundary checkpoint: resume the library if a prior run saved it
     (SURVEY.md §5 checkpoint/resume — absent in the reference)."""
+    if config.import_library:
+        from fedrann_tpu.compat import load_reference_library
+
+        library = load_reference_library(config.import_library, config.kmer_size)
+        logger.info("imported reference library %s (%d k-mers)",
+                    config.import_library, library.size)
+        return library
     if ckpt_dir:
         path = os.path.join(ckpt_dir, "library.npz")
         if os.path.exists(path):

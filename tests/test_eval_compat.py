@@ -94,3 +94,74 @@ def test_load_reference_precompute(tmp_path):
     assert p.shape == (21, 8)
     assert np.allclose(p[:20], m.toarray())
     assert np.all(p[20] == 0)
+
+
+def test_pipeline_with_imported_library_and_projection(tmp_path):
+    """Golden-parity flags: feeding the pipeline a reference-format library
+    + projection must reproduce oracle embeddings built from the same."""
+    import scipy.sparse as sp
+
+    from fedrann_tpu.cli import config_from_args
+    from fedrann_tpu.pipeline import run_pipeline
+    from fedrann_tpu.sim import simulate_reads, write_fasta
+
+    sim = simulate_reads(genome_length=8000, coverage=5,
+                         mean_read_length=900, seed=53)
+    k = 13
+    lib = oracle.build_library(sim.sequences, k, 2, 0.4, seed=7)
+    # write the library in jellyfish-dump format (reference artifact shape)
+    lib_fa = tmp_path / "fwd_kmer_library.fasta"
+    def decode(code):
+        return "".join("ACGT"[(int(code) >> (2 * (k - 1 - i))) & 3]
+                       for i in range(k))
+    with open(lib_fa, "w") as f:
+        for c, n in zip(lib.codes, lib.counts):
+            f.write(f">{n}\n{decode(c)}\n")
+    # reference-style precompute: dense SRP x ICF as a scipy sparse npz
+    p = oracle.srp_matrix(lib.n_features, 32, seed=99) * \
+        oracle.icf_weights(lib)[:, None]
+    npz = tmp_path / "precompute.npz"
+    sp.save_npz(npz, sp.csr_matrix(p))
+
+    reads = tmp_path / "r.fasta"
+    write_fasta(str(reads), sim.names, sim.sequences)
+    config = config_from_args([
+        "-i", str(reads), "-o", str(tmp_path / "o"), "-k", str(k),
+        "--kmer-sample-fraction", "0.4", "--seed", "7",
+        "--nndescent-n-neighbors", "5",
+        "--import-library", str(lib_fa),
+        "--import-projection", str(npz),
+        "--length-buckets", "2048", "--knn-query-tile", "64",
+    ])
+    result = run_pipeline(config)
+    assert np.array_equal(result.library.codes, lib.codes)
+    rows = oracle.feature_rows(sim.sequences, k, lib)
+    expect = np.zeros((2 * len(sim.sequences), 32), np.float32)
+    p_np = np.asarray(p, np.float32)
+    for r, feat in enumerate(rows):
+        if len(feat):
+            expect[r] = p_np[feat].sum(axis=0)
+    assert np.allclose(np.asarray(result.embeddings), expect,
+                       rtol=1e-4, atol=1e-4)
+
+
+def test_import_projection_shape_mismatch(tmp_path):
+    import scipy.sparse as sp
+
+    from fedrann_tpu.cli import config_from_args
+    from fedrann_tpu.pipeline import run_pipeline
+    from fedrann_tpu.sim import simulate_reads, write_fasta
+
+    sim = simulate_reads(genome_length=5000, coverage=4,
+                         mean_read_length=700, seed=54)
+    reads = tmp_path / "r.fasta"
+    write_fasta(str(reads), sim.names, sim.sequences)
+    npz = tmp_path / "bad.npz"
+    sp.save_npz(npz, sp.csr_matrix(np.ones((6, 8), np.float32)))
+    config = config_from_args([
+        "-i", str(reads), "-o", str(tmp_path / "o"), "-k", "11",
+        "--kmer-sample-fraction", "0.5", "--seed", "3",
+        "--import-projection", str(npz), "--length-buckets", "2048",
+    ])
+    with pytest.raises(ValueError, match="feature rows"):
+        run_pipeline(config)
