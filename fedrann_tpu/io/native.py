@@ -152,12 +152,7 @@ def write_overlaps_native(
     lib = load_native()
     if lib is None:
         raise RuntimeError("native library not built")
-    blob = b"\x00".join(n.encode("ascii") for n in names) + b"\x00"
-    offsets = np.zeros(len(names), dtype=np.uint64)
-    pos = 0
-    for i, n in enumerate(names):
-        offsets[i] = pos
-        pos += len(n) + 1
+    blob, offsets = _names_blob(names)
     q32 = np.ascontiguousarray(q_rows, dtype=np.int32)
     t32 = np.ascontiguousarray(t_rows, dtype=np.int32)
     r32 = np.ascontiguousarray(ranks, dtype=np.int32)

@@ -77,14 +77,6 @@ def write_overlaps_path(
             path, list(names), np.asarray(neighbor_indices),
             np.asarray(neighbor_distances),
         )
-    q_rows, t_rows, ranks, dists = _filter_rows(
-        np.asarray(neighbor_indices), np.asarray(neighbor_distances)
-    )
     with open(path, "w") as f:
-        f.write(HEADER)
-        for q, t, r, d in zip(q_rows, t_rows, ranks, dists):
-            f.write(
-                f"{names[q // 2]}\t{_orientation(q)}\t{names[t // 2]}"
-                f"\t{_orientation(t)}\t{r}\t{float(d):.9g}\n"
-            )
-    return len(q_rows)
+        return write_overlaps_tsv(f, names, neighbor_indices,
+                                  neighbor_distances)

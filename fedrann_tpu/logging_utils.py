@@ -46,8 +46,15 @@ def set_logging_level(level: str | int) -> None:
 
 
 def add_log_file(path: str) -> logging.Handler:
-    """Attach a color-free file handler (reference custom_logging.py:56-62)."""
+    """Attach a color-free file handler (reference custom_logging.py:56-62).
+    Callers must pass the returned handler to remove_log_file when the run
+    ends, or repeated runs in one process append to every prior log."""
     handler = logging.FileHandler(path, mode="w")
     handler.setFormatter(logging.Formatter(_FMT, _DATEFMT))
     logger.addHandler(handler)
     return handler
+
+
+def remove_log_file(handler: logging.Handler) -> None:
+    logger.removeHandler(handler)
+    handler.close()

@@ -22,6 +22,17 @@ def peak_rss_mib() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
 
+def current_rss_mib() -> float:
+    """Current resident set (not the high-water mark) — the mprof timeline
+    must be able to go DOWN when memory is freed."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return pages * (resource.getpagesize() / (1024.0 * 1024.0))
+    except (OSError, ValueError, IndexError):
+        return peak_rss_mib()
+
+
 class StageMetrics:
     def __init__(self) -> None:
         self.stages: dict[str, dict[str, float]] = {}
@@ -54,7 +65,7 @@ class MemorySampler:
 
     def _run(self) -> None:
         while not self._stop.is_set():
-            self._samples.append((peak_rss_mib(), time.time()))
+            self._samples.append((current_rss_mib(), time.time()))
             self._stop.wait(self.interval)
 
     def __enter__(self):

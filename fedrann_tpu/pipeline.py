@@ -20,7 +20,7 @@ import dataclasses
 import functools
 import json
 import os
-from typing import Iterator, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +33,12 @@ from fedrann_tpu.io.tsv import write_overlaps_path
 from fedrann_tpu.kmers.library_device import build_library_on_device
 from fedrann_tpu.kmers.membership import build_library_index
 from fedrann_tpu.knn.topk import knn_exact
-from fedrann_tpu.logging_utils import add_log_file, logger, set_logging_level
+from fedrann_tpu.logging_utils import (
+    add_log_file,
+    logger,
+    remove_log_file,
+    set_logging_level,
+)
 from fedrann_tpu.metrics import MemorySampler, StageMetrics
 from fedrann_tpu.oracle import KmerLibrary
 from fedrann_tpu.project.embed import embed_hits_pair, swap_halves
@@ -60,16 +65,6 @@ def _pad_chunk(chunk: np.ndarray, rows: int, fill) -> np.ndarray:
     pad_shape = (rows - len(chunk), *chunk.shape[1:])
     from fedrann_tpu.io.packing import full_fast
     return np.concatenate([chunk, full_fast(pad_shape, fill, chunk.dtype)])
-
-
-def _row_chunks(bucket: PackedBucket, window_batch: int) -> Iterator[np.ndarray]:
-    """Split a bucket into fixed-shape row chunks with ~window_batch total
-    bases each (all-INVALID padding rows contribute no k-mers)."""
-    from fedrann_tpu.io.packing import INVALID
-
-    rows = max(8, (window_batch // bucket.bases.shape[1]) // 8 * 8)
-    for start in range(0, bucket.bases.shape[0], rows):
-        yield _pad_chunk(bucket.bases[start : start + rows], rows, INVALID)
 
 
 def _device_chunks(packed: PackedReads, window_batch: int,
@@ -129,7 +124,11 @@ def _stage_all_candidates(device_chunks, config: PipelineConfig):
     the embed stages consume the result. Returns [(staged_triple, idx)]."""
     from fedrann_tpu.kmers.membership import stage_candidates
 
-    keep_all = config.kmer_sample_fraction >= 1.0
+    # an imported reference library was NOT sampled by our hash, so the
+    # hash prefilter would silently discard its true hits — stage every
+    # valid window in that case
+    keep_all = (config.kmer_sample_fraction >= 1.0
+                or config.import_library is not None)
     seed32 = jnp.uint32(np.uint32(config.seed & 0xFFFFFFFF))
     threshold = jnp.uint32(
         min(int(config.kmer_sample_fraction * 2.0**32), 2**32 - 1)
@@ -209,9 +208,10 @@ def compute_embeddings(
 def run_pipeline(config: PipelineConfig) -> PipelineResult:
     set_logging_level(config.log_level)
     out_dir = config.output_dir
+    log_handler = None
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
-        add_log_file(os.path.join(out_dir, "fedrann.log"))
+        log_handler = add_log_file(os.path.join(out_dir, "fedrann.log"))
     metrics = StageMetrics()
     sampler = (
         MemorySampler(os.path.join(out_dir or ".", "mprof.dat"))
@@ -243,17 +243,29 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                 )
             logger.info("loaded %d reads into %d buckets",
                         packed.n_reads, len(packed.buckets))
+            if packed.n_reads == 0:
+                raise ValueError(
+                    f"no reads found in {config.input_path}"
+                )
 
-        with metrics.stage("stage"):
-            device_chunks = _device_chunks(
-                packed, config.window_batch, config.chunk_size
-            )
-            staged_chunks = _stage_all_candidates(device_chunks, config)
-            del device_chunks  # frees the device base buffers
+        # staging is the dominant device work; make it lazy + memoized so a
+        # fully-checkpointed resume (library + embeddings on disk) skips it
+        _staged_cache: list = []
+
+        def get_staged():
+            if not _staged_cache:
+                with metrics.stage("stage"):
+                    device_chunks = _device_chunks(
+                        packed, config.window_batch, config.chunk_size
+                    )
+                    _staged_cache.append(
+                        _stage_all_candidates(device_chunks, config)
+                    )
+            return _staged_cache[0]
 
         with metrics.stage("count"):
             library = _load_or_build_library(
-                packed, config, ckpt_dir, staged_chunks
+                packed, config, ckpt_dir, get_staged
             )
             logger.info("library: %d canonical k-mers (%d features)",
                         library.size, library.n_features)
@@ -284,7 +296,7 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
             emb = _load_embeddings_checkpoint(config, ckpt_dir, packed, library)
             if emb is None:
                 emb, _ = compute_embeddings(
-                    packed, library, config, p_ext, staged_chunks
+                    packed, library, config, p_ext, get_staged()
                 )
                 if ckpt_dir:
                     np.save(os.path.join(ckpt_dir, "embeddings.npy"),
@@ -339,6 +351,8 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
             sampler.__exit__(None, None, None)
         if profiler_ctx is not None:
             profiler_ctx.__exit__(None, None, None)
+        if log_handler is not None:
+            remove_log_file(log_handler)
 
     if out_dir:
         with open(os.path.join(out_dir, "metrics.json"), "w") as f:
@@ -393,7 +407,7 @@ def _load_embeddings_checkpoint(config, ckpt_dir, packed, library):
 
 def _load_or_build_library(
     packed: PackedReads, config: PipelineConfig, ckpt_dir: Optional[str],
-    staged_chunks=None,
+    get_staged=None,
 ) -> KmerLibrary:
     """Stage-boundary checkpoint: resume the library if a prior run saved it
     (SURVEY.md §5 checkpoint/resume — absent in the reference)."""
@@ -410,16 +424,20 @@ def _load_or_build_library(
             data = np.load(path)
             if (int(data["k"]) == config.kmer_size
                     and int(data["seed"]) == config.seed
-                    and float(data["fraction"]) == config.kmer_sample_fraction):
+                    and float(data["fraction"]) == config.kmer_sample_fraction
+                    and int(data.get("min_multiplicity", -1))
+                    == config.kmer_min_multiplicity):
                 logger.info("resuming library from %s", path)
                 return KmerLibrary(codes=data["codes"], counts=data["counts"])
 
     # staged sampled candidates stay on device; the sampled library is the
     # only k-mer artifact that ever reaches the host
-    if staged_chunks is None:
+    if get_staged is None:
         staged_chunks = _stage_all_candidates(
             _device_chunks(packed, config.window_batch), config
         )
+    else:
+        staged_chunks = get_staged()
     canon_chunks = [staged[0] for staged, _ in staged_chunks]
     library = build_library_on_device(
         canon_chunks, config.kmer_size, config.kmer_min_multiplicity,
@@ -432,5 +450,6 @@ def _load_or_build_library(
             codes=library.codes, counts=library.counts,
             k=config.kmer_size, seed=config.seed,
             fraction=config.kmer_sample_fraction,
+            min_multiplicity=config.kmer_min_multiplicity,
         )
     return library

@@ -34,7 +34,7 @@ class SimulatedReads:
         starts, ends = self.starts, self.ends
         for ii, i in enumerate(order):
             for j in order[ii + 1 :]:
-                if starts[j] >= ends[i] - min_overlap:
+                if starts[j] > ends[i] - min_overlap:
                     break
                 lo = max(starts[i], starts[j])
                 hi = min(ends[i], ends[j])

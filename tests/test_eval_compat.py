@@ -165,3 +165,40 @@ def test_import_projection_shape_mismatch(tmp_path):
     ])
     with pytest.raises(ValueError, match="feature rows"):
         run_pipeline(config)
+
+
+def test_import_library_not_hash_sampled_still_hits(tmp_path):
+    """Regression: an imported library sampled by a DIFFERENT process than
+    our hash (e.g. the reference's awk rand()) must not be starved by the
+    membership sampling prefilter."""
+    from fedrann_tpu.cli import config_from_args
+    from fedrann_tpu.pipeline import run_pipeline
+    from fedrann_tpu.sim import simulate_reads, write_fasta
+
+    sim = simulate_reads(genome_length=8000, coverage=5,
+                         mean_read_length=900, seed=55)
+    k = 13
+    # library sampled with seed 999 but the pipeline runs with --seed 7:
+    # hash-prefiltering with seed 7 would silently drop most of these codes
+    lib = oracle.build_library(sim.sequences, k, 2, 0.3, seed=999)
+    lib_fa = tmp_path / "lib.fasta"
+    def decode(code):
+        return "".join("ACGT"[(int(code) >> (2 * (k - 1 - i))) & 3]
+                       for i in range(k))
+    with open(lib_fa, "w") as f:
+        for c, n in zip(lib.codes, lib.counts):
+            f.write(f">{n}\n{decode(c)}\n")
+    reads = tmp_path / "r.fasta"
+    write_fasta(str(reads), sim.names, sim.sequences)
+    config = config_from_args([
+        "-i", str(reads), "-o", str(tmp_path / "o"), "-k", str(k),
+        "--kmer-sample-fraction", "0.3", "--seed", "7",
+        "--nndescent-n-neighbors", "5", "--import-library", str(lib_fa),
+        "--length-buckets", "2048", "--knn-query-tile", "64", "-n", "64",
+    ])
+    result = run_pipeline(config)
+    rows = oracle.feature_rows(sim.sequences, k, lib)
+    emb_o = oracle.embed(rows, lib, 64, 2094)
+    assert np.allclose(np.asarray(result.embeddings), emb_o,
+                       rtol=1e-4, atol=1e-4)
+    assert np.abs(np.asarray(result.embeddings)).sum() > 0
