@@ -250,6 +250,11 @@ def read_hits_staged(staged, lib: "LibraryIndex", k: int, max_hits: int):
     occurrences), keeping downstream embedding gathers tight."""
     staged_words, staged_fwd, pre_dropped = staged
     max_hits = min(max_hits, staged_words[0].shape[1])
+    if lib.words[0].shape[0] == 0:
+        r = staged_words[0].shape[0]
+        # sentinel for an empty library is 2*0 = 0; rows embed as zeros
+        return (jnp.zeros((r, max_hits), jnp.int32),
+                jnp.zeros((r,), jnp.int32), pre_dropped)
     hits, n_hits, dropped = _read_hits_staged(
         staged_words, staged_fwd, lib.words, lib.table, k, max_hits,
         lib.bits, lib.steps,

@@ -269,6 +269,13 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
             )
             logger.info("library: %d canonical k-mers (%d features)",
                         library.size, library.n_features)
+            if library.size == 0:
+                raise ValueError(
+                    "k-mer library is empty: no k-mer passed the "
+                    "multiplicity/sampling filters (lower "
+                    "--kmer-min-multiplicity or raise "
+                    "--kmer-sample-fraction)"
+                )
 
         with metrics.stage("project"):
             if config.import_projection:
