@@ -15,7 +15,7 @@ import gzip
 import numpy as np
 
 _BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
-_COMP = {ord("A"): "T", ord("C"): "G", ord("G"): "C", ord("T"): "A"}
+_COMP_TABLE = bytes.maketrans(b"ACGT", b"TGCA")
 
 
 @dataclasses.dataclass
@@ -44,7 +44,7 @@ class SimulatedReads:
 
 
 def _revcomp(seq: str) -> str:
-    return "".join(_COMP[ord(c)] for c in reversed(seq))
+    return seq.encode("ascii").translate(_COMP_TABLE)[::-1].decode("ascii")
 
 
 def simulate_reads(
