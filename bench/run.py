@@ -44,6 +44,7 @@ def run_one(cfg, warm: bool = True) -> dict:
             "--nndescent-n-neighbors", str(cfg.n_neighbors),
             "--seed", "602", "--length-buckets", str(cfg.length_bucket),
             "--knn-topk-method", cfg.topk_method,
+            "--threads", "4",
         ]
         config = config_from_args(args)
         if warm:
