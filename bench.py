@@ -48,7 +48,7 @@ def main() -> int:
             "-i", fasta, "-o", os.path.join(tmp, "out"),
             "-k", "15", "--kmer-sample-fraction", "0.05",
             "--kmer-min-multiplicity", "2", "-n", "512",
-            "--nndescent-n-neighbors", "50", "--seed", "602",
+            "--nndescent-n-neighbors", "50", "--seed", "602", "--threads", "4",
             "--length-buckets", "16384",
         ]
         config = config_from_args(args)
