@@ -30,7 +30,7 @@ class FastxRecord:
 
 
 def reverse_complement(seq: str) -> str:
-    return seq.encode("ascii").translate(_COMPLEMENT)[::-1].decode("ascii")
+    return seq.encode("latin-1").translate(_COMPLEMENT)[::-1].decode("latin-1")
 
 
 def open_maybe_gzipped(path: str) -> IO[bytes]:
@@ -67,13 +67,13 @@ def _iter_fasta(stream: IO[bytes]) -> Iterator[FastxRecord]:
             continue
         if line.startswith(b">"):
             if name is not None:
-                yield FastxRecord(name, b"".join(chunks).decode("ascii"))
-            name = line[1:].split()[0].decode("ascii") if len(line) > 1 else ""
+                yield FastxRecord(name, b"".join(chunks).decode("latin-1"))
+            name = line[1:].split()[0].decode("latin-1") if len(line) > 1 else ""
             chunks = []
         else:
             chunks.append(line)
     if name is not None:
-        yield FastxRecord(name, b"".join(chunks).decode("ascii"))
+        yield FastxRecord(name, b"".join(chunks).decode("latin-1"))
 
 
 def _iter_fastq(stream: IO[bytes]) -> Iterator[FastxRecord]:
@@ -92,8 +92,8 @@ def _iter_fastq(stream: IO[bytes]) -> Iterator[FastxRecord]:
         if not qual:
             raise ValueError("truncated FASTQ record")
         del plus
-        name = header[1:].split()[0].decode("ascii") if len(header) > 1 else ""
-        yield FastxRecord(name, seq.decode("ascii"))
+        name = header[1:].split()[0].decode("latin-1") if len(header) > 1 else ""
+        yield FastxRecord(name, seq.decode("latin-1"))
 
 
 def read_fastx(path: str) -> Iterator[FastxRecord]:

@@ -104,7 +104,9 @@ def load_native() -> Optional[ctypes.CDLL]:
 
 
 def _names_blob(names):
-    blob = b"\x00".join(n.encode("ascii") for n in names) + b"\x00"
+    # latin-1 is byte-preserving: non-ASCII bytes in FASTX headers round-trip
+    # instead of aborting the run after the expensive stages (ADVICE r1)
+    blob = b"\x00".join(n.encode("latin-1") for n in names) + b"\x00"
     offsets = np.zeros(len(names), dtype=np.uint64)
     pos = 0
     for i, n in enumerate(names):
@@ -201,7 +203,7 @@ def parse_fastx_native(path: str, threads: int = 1):
             .astype(np.int64)
         )
         raw_names = ctypes.string_at(parsed.names, parsed.names_bytes)
-        names = raw_names.decode("ascii").split("\x00")[:n]
+        names = raw_names.decode("latin-1").split("\x00")[:n]
     finally:
         lib.fastx_free(ctypes.byref(parsed))
     return names, codes, offsets

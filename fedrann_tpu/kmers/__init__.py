@@ -5,8 +5,6 @@ from fedrann_tpu.kmers.codec import (  # noqa: F401
     window_codes,
     words_to_u64,
 )
-from fedrann_tpu.kmers.count import count_canonical_kmers  # noqa: F401
-from fedrann_tpu.kmers.sample import build_library_device  # noqa: F401
 from fedrann_tpu.kmers.membership import (  # noqa: F401
     library_device_words,
     mirror_hits,

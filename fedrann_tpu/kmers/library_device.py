@@ -29,9 +29,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from fedrann_tpu.kmers.codec import sample_hash32, words_to_u64
-from fedrann_tpu.kmers.count import _sort_words
 from fedrann_tpu.logging_utils import logger
 from fedrann_tpu.oracle import KmerLibrary
+
+
+@jax.jit
+def _sort_words(words):
+    """Lexicographic device sort of a word-plane tuple (single-word:
+    jnp.sort; two-word: lax.sort with num_keys=2)."""
+    flat = tuple(w.ravel() for w in words)
+    if len(flat) == 1:
+        return (jnp.sort(flat[0]),)
+    return tuple(jax.lax.sort(flat, num_keys=2))
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))

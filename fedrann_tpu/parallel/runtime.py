@@ -203,17 +203,29 @@ def run_pipeline_multihost(config):
             continue
         rows = _np.flatnonzero(mask)
         pad = -(-len(rows) // 8) * 8
-        bases = _np.full((pad, b.bases.shape[1]), 4, dtype=_np.uint8)
-        bases[: len(rows)] = b.bases[rows]
         idx = _np.full(pad, -1, dtype=_np.int32)
         idx[: len(rows)] = b.read_index[rows] - start
         lengths = _np.zeros(pad, dtype=_np.int32)
         lengths[: len(rows)] = b.lengths[rows]
         from fedrann_tpu.io.packing import PackedBucket
 
+        if b.bases is None:
+            # bit-packed bucket (pack_reads_native bit_packed=True): slice
+            # the packed planes; zero-padded rows decode as invalid
+            pk = _np.zeros((pad, b.packed_bases.shape[1]), dtype=_np.uint8)
+            pk[: len(rows)] = b.packed_bases[rows]
+            vd = _np.zeros((pad, b.valid_bits.shape[1]), dtype=_np.uint8)
+            vd[: len(rows)] = b.valid_bits[rows]
+            local.buckets.append(PackedBucket(
+                bases=None, lengths=lengths, read_index=idx,
+                packed_bases=pk, valid_bits=vd, length=b.length,
+            ))
+            continue
+        bases = _np.full((pad, b.bases.shape[1]), 4, dtype=_np.uint8)
+        bases[: len(rows)] = b.bases[rows]
         local.buckets.append(
             PackedBucket(bases=bases, lengths=lengths, read_index=idx,
-                         length=b.bases.shape[1] if b.bases is not None else b.length)
+                         length=b.bases.shape[1])
         )
 
     chunks = _device_chunks(local, config.window_batch, config.chunk_size)

@@ -48,14 +48,19 @@ def make_sharded_step(
     steps: int = 8,
     hit_buffer: int | None = None,
     sampling: tuple | None = None,
+    n_reads: int | None = None,
 ):
     """Build the jitted sharded step.
 
     Returned fn(bases (R, L) uint8, lib (words..., table) pytree,
     p_ext (2L+1, d) f32, p_swapped (2L+1, d) f32)
     -> (distances (2R, k_nn), indices (2R, k_nn)).
-    R must divide by the mesh size (pad with all-INVALID rows host-side).
-    bits/steps must come from the LibraryIndex the inputs were built with.
+    R must divide by the mesh size (pad with all-INVALID rows host-side);
+    pass the REAL read count as n_reads so the padding rows (embedding rows
+    >= 2*n_reads) can never enter a real read's top-k and their out-of-range
+    indices never reach the TSV writers (ADVICE r1). Callers slice the
+    output to [:2*n_reads]. bits/steps must come from the LibraryIndex the
+    inputs were built with.
     """
     n_dev = mesh.devices.size
 
@@ -70,7 +75,7 @@ def make_sharded_step(
         b = e_fwd.shape[0]
         e = jnp.stack([e_fwd, e_rev], axis=1).reshape(2 * b, e_fwd.shape[1])
         en = normalize_rows(e)
-        n_real = 2 * b * n_dev
+        n_real = 2 * b * n_dev if n_reads is None else 2 * n_reads
         ring = _ring_body if strategy == "ring" else _allgather_body
         dist, idx = ring(en, n_dev=n_dev, k=n_neighbors, n_real=n_real,
                          precision=precision)

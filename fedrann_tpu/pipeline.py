@@ -376,10 +376,26 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
     )
 
 
+def _input_identity(config: PipelineConfig) -> dict:
+    """Identity of the input dataset (path + size + mtime). Checkpoint
+    resume must not survive a changed or different input file (ADVICE r1:
+    the k/seed-only fingerprints silently reused a stale library)."""
+    try:
+        st = os.stat(config.input_path)
+        return {
+            "path": os.path.abspath(config.input_path),
+            "size": st.st_size,
+            "mtime_ns": st.st_mtime_ns,
+        }
+    except OSError:
+        return {"path": os.path.abspath(config.input_path)}
+
+
 def _embed_fingerprint(config: PipelineConfig, packed: PackedReads,
                        library: KmerLibrary) -> dict:
     """Everything the embedding matrix depends on; guards checkpoint resume."""
     return {
+        "input": _input_identity(config),
         "k": config.kmer_size,
         "seed": config.seed,
         "fraction": config.kmer_sample_fraction,
@@ -433,7 +449,9 @@ def _load_or_build_library(
                     and int(data["seed"]) == config.seed
                     and float(data["fraction"]) == config.kmer_sample_fraction
                     and int(data.get("min_multiplicity", -1))
-                    == config.kmer_min_multiplicity):
+                    == config.kmer_min_multiplicity
+                    and str(data.get("input_id", ""))
+                    == json.dumps(_input_identity(config), sort_keys=True)):
                 logger.info("resuming library from %s", path)
                 return KmerLibrary(codes=data["codes"], counts=data["counts"])
 
@@ -458,5 +476,6 @@ def _load_or_build_library(
             k=config.kmer_size, seed=config.seed,
             fraction=config.kmer_sample_fraction,
             min_multiplicity=config.kmer_min_multiplicity,
+            input_id=json.dumps(_input_identity(config), sort_keys=True),
         )
     return library

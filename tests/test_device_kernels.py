@@ -14,13 +14,13 @@ from fedrann_tpu.kmers.codec import (
     window_codes,
     words_to_u64,
 )
-from fedrann_tpu.kmers.count import count_canonical_kmers
+from helpers_count import count_canonical_kmers
 from fedrann_tpu.kmers.membership import (
     library_device_words,
     mirror_hits,
     read_hits,
 )
-from fedrann_tpu.kmers.sample import build_library_device
+from helpers_count import build_library_device
 from fedrann_tpu.knn.topk import knn_exact
 from fedrann_tpu.project.embed import embed_hits
 from fedrann_tpu.project.srp import build_precompute, icf_weights_device

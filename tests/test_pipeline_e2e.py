@@ -92,6 +92,27 @@ def test_checkpoint_resume(sim_input, tmp_path):
     assert np.array_equal(r1.neighbor_indices, r2.neighbor_indices)
 
 
+def test_checkpoint_rejects_changed_input(sim_input, tmp_path):
+    """Resume must be invalidated when the input dataset changes, even with
+    identical flags (ADVICE r1: fingerprints lacked input identity)."""
+    sim, path = sim_input
+    out = str(tmp_path / "ck2")
+    args = lambda p: ["-i", p, "-o", out, "--keep-intermediates", *BASE_ARGS]
+    run_pipeline(config_from_args(args(path)))
+    lib1 = np.load(os.path.join(out, "checkpoints", "library.npz"))["codes"]
+    # a different dataset at a different path with the same flags
+    sim2 = simulate_reads(genome_length=20000, coverage=8,
+                          mean_read_length=1600, error_rate=0.02, seed=99)
+    path2 = str(tmp_path / "other.fasta")
+    from fedrann_tpu.sim import write_fasta as wf
+    wf(path2, sim2.names, sim2.sequences)
+    r2 = run_pipeline(config_from_args(args(path2)))
+    lib2 = np.load(os.path.join(out, "checkpoints", "library.npz"))["codes"]
+    # the stale library/embeddings must NOT have been reused
+    assert not np.array_equal(lib1, lib2)
+    assert len(r2.names) == len(sim2.names)
+
+
 def test_truth_recall(sim_input, tmp_path):
     """Device pipeline recovers genomic overlaps (the actual task)."""
     sim, path = sim_input

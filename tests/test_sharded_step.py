@@ -67,3 +67,47 @@ def test_sharded_step_matches_single_device():
             / int(resolved.sum())
         )
     assert np.mean(agrees) > 0.95, np.mean(agrees)
+
+
+def test_sharded_step_masks_padding_rows():
+    """With n_reads set, host-side padding rows must never enter a real
+    read's top-k (their indices would be out of range for the TSV writers
+    — ADVICE r1 medium)."""
+    mesh = make_mesh()
+    sim = simulate_reads(genome_length=8000, coverage=5,
+                         mean_read_length=1000, seed=82)
+    k, frac, seed = 13, 0.5, 45
+    lib = oracle.build_library(sim.sequences, k, 2, frac, seed)
+    # keep only 2 reads per device shard, pad the rest
+    n_real = 11
+    packed = pack_reads(
+        [FastxRecord(n, s) for n, s in
+         zip(sim.names[:n_real], sim.sequences[:n_real])],
+        length_buckets=(2048,), pad_rows_to=16,
+    )
+    bucket = packed.buckets[0]
+    assert (bucket.read_index >= 0).sum() == n_real
+    assert bucket.bases.shape[0] == 16
+    bases = jnp.asarray(bucket.bases)
+    p_ext = build_precompute(jnp.asarray(lib.counts), 64, 2094)
+    args, index = shard_step_inputs(mesh, bases, lib.codes, k, p_ext)
+    n_nb = 8
+    step = make_sharded_step(
+        mesh, k=k, max_hits=1024, n_neighbors=n_nb, precision="fp32",
+        strategy="ring", bits=index.bits, steps=index.steps,
+        sampling=(seed, frac), n_reads=n_real,
+    )
+    dist_s, idx_s = step(*args)
+    dist_s, idx_s = np.asarray(dist_s), np.asarray(idx_s)
+    real = idx_s[: 2 * n_real]
+    # every real row's neighbor list stays inside the real rows
+    assert real.max() < 2 * n_real
+    assert not np.any(np.isinf(dist_s[: 2 * n_real]))
+    # allgather strategy agrees
+    step_ag = make_sharded_step(
+        mesh, k=k, max_hits=1024, n_neighbors=n_nb, precision="fp32",
+        strategy="allgather", bits=index.bits, steps=index.steps,
+        sampling=(seed, frac), n_reads=n_real,
+    )
+    _, idx_ag = step_ag(*args)
+    assert np.asarray(idx_ag)[: 2 * n_real].max() < 2 * n_real
