@@ -80,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--import-projection", type=str, default=None,
                    help="Use a reference-run precompute matrix (scipy .npz) "
                         "instead of generating the SRP (golden parity).")
+    p.add_argument("--no-pack-cache", action="store_true",
+                   help="Disable the packed-reads cache (fxcache.npz) that "
+                        "lets reruns skip the host FASTX parse.")
     p.add_argument("--profile", action="store_true",
                    help="Write a jax.profiler trace to <output-dir>/trace.")
     p.add_argument("--log-level", default="INFO")
@@ -115,6 +118,7 @@ def config_from_args(argv: list[str] | None = None) -> PipelineConfig:
         length_buckets=tuple(int(x) for x in args.length_buckets.split(",")),
         import_library=args.import_library,
         import_projection=args.import_projection,
+        pack_cache=not args.no_pack_cache,
         profile=args.profile,
         log_level=args.log_level,
     )

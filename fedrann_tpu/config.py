@@ -76,6 +76,10 @@ class PipelineConfig:
     checkpoint: bool = False
     # Mesh shape for multi-chip runs; None = all local devices on one axis.
     mesh_shape: Optional[Sequence[int]] = None
+    # Cache the bucketed packed-read representation in the output dir and
+    # reuse it when input identity (path+size+mtime) and buckets match —
+    # reruns skip the host FASTX parse entirely (io/cache.py).
+    pack_cache: bool = True
     # Golden-parity imports: use a reference run's sampled k-mer library
     # (jellyfish-dump FASTA, compat.load_reference_library) and/or its
     # precompute matrix (scipy .npz, compat.load_reference_precompute)

@@ -231,16 +231,33 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
     try:
         with metrics.stage("load"):
             from fedrann_tpu.io import native as native_io
+            from fedrann_tpu.io.cache import (
+                cache_meta,
+                load_packed_cache,
+                save_packed_cache,
+            )
 
-            if native_io.native_available():
-                packed = native_io.pack_reads_native(
-                    config.input_path, config.length_buckets, bit_packed=True,
-                    threads=max(1, config.threads),
-                )
-            else:
-                packed = pack_reads(
-                    read_fastx(config.input_path), config.length_buckets
-                )
+            cache_path = (
+                os.path.join(out_dir, "fxcache.npz")
+                if (config.pack_cache and out_dir) else None
+            )
+            packed = None
+            meta = None
+            if cache_path:
+                meta = cache_meta(config.input_path, config.length_buckets)
+                packed = load_packed_cache(cache_path, meta)
+            if packed is None:
+                if native_io.native_available():
+                    packed = native_io.pack_reads_native(
+                        config.input_path, config.length_buckets,
+                        bit_packed=True, threads=max(1, config.threads),
+                    )
+                else:
+                    packed = pack_reads(
+                        read_fastx(config.input_path), config.length_buckets
+                    )
+                if cache_path:
+                    save_packed_cache(cache_path, packed, meta)
             logger.info("loaded %d reads into %d buckets",
                         packed.n_reads, len(packed.buckets))
             if packed.n_reads == 0:

@@ -144,3 +144,66 @@ def test_threaded_parse_matches_single(tmp_path):
     write_fasta(gz, sim.names, sim.sequences)
     ng, cg, og = native.parse_fastx_native(gz, threads=4)
     assert ng == n1 and np.array_equal(cg, c1)
+
+
+def test_packed_cache_roundtrip(tmp_path):
+    """Cache save/load must reproduce the PackedReads exactly and reject a
+    changed input identity."""
+    from fedrann_tpu.io.cache import (
+        cache_meta, load_packed_cache, save_packed_cache,
+    )
+
+    sim = simulate_reads(genome_length=30000, coverage=5,
+                         mean_read_length=1200, seed=53)
+    path = str(tmp_path / "r.fasta")
+    write_fasta(path, sim.names, sim.sequences)
+    for bit_packed in (True, False):
+        packed = native.pack_reads_native(path, (2048, 4096),
+                                          bit_packed=bit_packed)
+        meta = cache_meta(path, (2048, 4096))
+        cpath = str(tmp_path / f"c{bit_packed}.npz")
+        save_packed_cache(cpath, packed, meta)
+        got = load_packed_cache(cpath, meta)
+        assert got is not None
+        assert got.names == packed.names
+        assert got.n_truncated == packed.n_truncated
+        assert len(got.buckets) == len(packed.buckets)
+        for a, b in zip(got.buckets, packed.buckets):
+            assert a.length == b.length
+            assert np.array_equal(a.lengths, b.lengths)
+            assert np.array_equal(a.read_index, b.read_index)
+            if b.bases is not None:
+                assert np.array_equal(a.bases, b.bases)
+            else:
+                assert np.array_equal(a.packed_bases, b.packed_bases)
+                assert np.array_equal(a.valid_bits, b.valid_bits)
+        # different buckets -> miss
+        assert load_packed_cache(cpath, cache_meta(path, (8192,))) is None
+    # touched input -> miss
+    import os, time
+    os.utime(path, (time.time() + 10, time.time() + 10))
+    assert load_packed_cache(cpath, cache_meta(path, (2048, 4096))) is None
+
+
+def test_pipeline_uses_pack_cache(tmp_path):
+    """Second pipeline run must produce identical results from the cache."""
+    import os
+    from fedrann_tpu.cli import config_from_args
+    from fedrann_tpu.pipeline import run_pipeline
+
+    sim = simulate_reads(genome_length=15000, coverage=6,
+                         mean_read_length=1200, seed=54)
+    path = str(tmp_path / "r.fasta")
+    write_fasta(path, sim.names, sim.sequences)
+    out = str(tmp_path / "o")
+    args = ["-i", path, "-o", out, "-k", "13", "--kmer-sample-fraction",
+            "0.3", "-n", "64", "--nndescent-n-neighbors", "8",
+            "--length-buckets", "4096", "--seed", "3"]
+    r1 = run_pipeline(config_from_args(args))
+    assert os.path.exists(os.path.join(out, "fxcache.npz"))
+    r2 = run_pipeline(config_from_args(args))
+    assert r1.names == r2.names
+    assert np.array_equal(r1.neighbor_indices, r2.neighbor_indices)
+    # --no-pack-cache still works and matches
+    r3 = run_pipeline(config_from_args(args + ["--no-pack-cache"]))
+    assert np.array_equal(r1.neighbor_indices, r3.neighbor_indices)
