@@ -30,6 +30,7 @@ from fedrann_tpu.kmers.codec import (
     words_eq,
     words_less,
 )
+from fedrann_tpu.ops import compact_rows
 
 
 def library_device_words(lib_codes_u64: np.ndarray, k: int) -> tuple[jax.Array, ...]:
@@ -128,7 +129,7 @@ def _hits_from_positions(pos, lib_words, canon, is_fwd, valid, max_hits,
     """Shared tail: positions -> found/feature indices -> per-read unique
     compacted hit rows (presence-set semantics).
 
-    Hit windows are first compacted (cumsum + scatter, O(W)) into a
+    Hit windows are first compacted (gather-based, ops.compact_rows) into a
     (R, hit_buffer) staging buffer so the per-row dedup sort runs over
     ~sample_fraction of the windows instead of all of them."""
     r, w = valid.shape
@@ -143,19 +144,14 @@ def _hits_from_positions(pos, lib_words, canon, is_fwd, valid, max_hits,
         sentinel,
     ).astype(jnp.int32)
 
-    rows_w = jax.lax.broadcasted_iota(jnp.int32, (r, w), 0)
     occ_dropped = jnp.zeros((r,), jnp.int32)
     if hit_buffer < w:
         # stage 1: compact hit occurrences (duplicates included, window
-        # order preserved) into the smaller buffer
-        present = feat != sentinel
-        occ_pos = jnp.cumsum(present, axis=1) - 1
-        tgt = jnp.where(present & (occ_pos < hit_buffer), occ_pos, hit_buffer)
-        staged = jnp.full((r, hit_buffer), sentinel, dtype=jnp.int32)
-        staged = staged.at[rows_w, tgt].set(feat, mode="drop")
-        n_occ = jnp.sum(present, axis=1).astype(jnp.int32)
-        occ_dropped = jnp.maximum(n_occ - hit_buffer, 0)
-        feat = staged
+        # order preserved) into the smaller buffer — gather-based (ops.py);
+        # the scatter formulation serialized on TPU
+        (feat,), _, occ_dropped = compact_rows(
+            feat != sentinel, (feat,), hit_buffer, (sentinel,)
+        )
 
     # presence-set semantics: sort row, keep first occurrences
     feat_sorted = jnp.sort(feat, axis=1)
@@ -165,15 +161,10 @@ def _hits_from_positions(pos, lib_words, canon, is_fwd, valid, max_hits,
     )
     uniq = first & (feat_sorted != sentinel)
 
-    out_pos = jnp.cumsum(uniq, axis=1) - 1
-    rows = jax.lax.broadcasted_iota(jnp.int32, feat_sorted.shape, 0)
-    target = jnp.where(uniq & (out_pos < max_hits), out_pos, max_hits)
-    hits = jnp.full((r, max_hits), sentinel, dtype=jnp.int32)
-    hits = hits.at[rows, target].set(feat_sorted, mode="drop")
-
-    n_uniq = jnp.sum(uniq, axis=1).astype(jnp.int32)
-    n_hits = jnp.minimum(n_uniq, max_hits)
-    return hits, n_hits, (n_uniq - n_hits) + occ_dropped
+    (hits,), n_hits, over = compact_rows(
+        uniq, (feat_sorted,), max_hits, (sentinel,)
+    )
+    return hits, n_hits, over + occ_dropped
 
 
 @functools.partial(jax.jit,
