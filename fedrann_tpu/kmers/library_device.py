@@ -5,7 +5,7 @@ subshell chain (reference count_kmers.py:52-149) with ONE device program
 over the concatenated canonical window stream:
 
   sort -> run-length boundaries -> multiplicity filter -> seeded-hash
-  threshold sampling -> scatter-compaction into a static-capacity buffer.
+  threshold sampling -> gather-compaction (ops.py) into a static buffer.
 
 Rationale: on tunneled/remote TPU hosts, device->host bandwidth is the
 scarcest resource (measured ~3 MB/s here vs ~20 MB/s host->device); the raw
@@ -30,6 +30,7 @@ import numpy as np
 
 from fedrann_tpu.kmers.codec import sample_hash32, words_to_u64
 from fedrann_tpu.logging_utils import logger
+from fedrann_tpu.ops import compact_flat
 from fedrann_tpu.oracle import KmerLibrary
 
 
@@ -54,13 +55,11 @@ def _prefilter_sampled(flat_words, cap: int, seed32, threshold):
     for w in flat_words[1:]:
         is_sent = is_sent & (w == jnp.uint32(0xFFFFFFFF))
     keep = keep & (~is_sent)
-    out_pos = jnp.cumsum(keep) - 1
-    target = jnp.where(keep & (out_pos < cap), out_pos, cap).astype(jnp.int32)
-    out = tuple(
-        jnp.full((cap,), 0xFFFFFFFF, dtype=jnp.uint32).at[target].set(w, mode="drop")
-        for w in flat_words
+    out, n_kept, n_total = compact_flat(
+        keep, flat_words, cap, (jnp.uint32(0xFFFFFFFF),) * len(flat_words)
     )
-    return out, jnp.sum(keep).astype(jnp.int32)
+    del n_kept
+    return out, n_total
 
 
 @functools.partial(jax.jit, static_argnames=("min_multiplicity",))
@@ -96,17 +95,12 @@ def _keep_and_counts(sorted_words, min_multiplicity: int, seed32, threshold,
 
 @functools.partial(jax.jit, static_argnames=("cap",))
 def _compact(sorted_words, keep, count, cap: int):
-    out_pos = jnp.cumsum(keep) - 1
-    target = jnp.where(keep & (out_pos < cap), out_pos, cap).astype(jnp.int32)
-    lib_words = tuple(
-        jnp.full((cap,), 0xFFFFFFFF, dtype=jnp.uint32).at[target].set(w, mode="drop")
-        for w in sorted_words
+    nw = len(sorted_words)
+    outs, _, n_total = compact_flat(
+        keep, (*sorted_words, count.astype(jnp.int32)), cap,
+        (*(jnp.uint32(0xFFFFFFFF),) * nw, 0),
     )
-    counts = jnp.zeros((cap,), jnp.int32).at[target].set(
-        count.astype(jnp.int32), mode="drop"
-    )
-    n_keep = jnp.sum(keep).astype(jnp.int32)
-    return lib_words, counts, n_keep
+    return outs[:-1], outs[-1], n_total
 
 
 def build_library_on_device(

@@ -204,20 +204,13 @@ def stage_candidates(bases, k, hit_buffer, keep_all, seed32, threshold):
             jnp.where(cand, wd, jnp.uint32(0xFFFFFFFF)) for wd in canon
         )
         return sent, is_fwd, jnp.zeros((r,), jnp.int32)
-    occ_pos = jnp.cumsum(cand, axis=1) - 1
-    tgt = jnp.where(cand & (occ_pos < hit_buffer), occ_pos, hit_buffer)
-    rows_w = jax.lax.broadcasted_iota(jnp.int32, (r, w), 0)
-    staged = tuple(
-        jnp.full((r, hit_buffer), 0xFFFFFFFF, dtype=jnp.uint32)
-        .at[rows_w, tgt].set(wd, mode="drop")
-        for wd in canon
+    # gather-based compaction (ops.py) — the scatter formulation serialized
+    # on TPU (~75M updates/s); this is the round-1 bench's top hotspot
+    outs, _, n_over = compact_rows(
+        cand, (*canon, is_fwd), hit_buffer,
+        (*(jnp.uint32(0xFFFFFFFF),) * len(canon), False),
     )
-    staged_fwd = (
-        jnp.zeros((r, hit_buffer), dtype=bool)
-        .at[rows_w, tgt].set(is_fwd, mode="drop")
-    )
-    n_cand = jnp.sum(cand, axis=1).astype(jnp.int32)
-    return staged, staged_fwd, jnp.maximum(n_cand - hit_buffer, 0)
+    return outs[:-1], outs[-1], n_over
 
 
 @functools.partial(
@@ -271,22 +264,13 @@ def _read_hits_indexed(bases, lib_words, table, k, max_hits, bits, steps,
         from fedrann_tpu.kmers.codec import sample_hash32
 
         cand = valid & (sample_hash32(canon, seed32) < threshold)
-        occ_pos = jnp.cumsum(cand, axis=1) - 1
-        tgt = jnp.where(cand & (occ_pos < hit_buffer), occ_pos, hit_buffer)
-        rows_w = jax.lax.broadcasted_iota(jnp.int32, (r, w), 0)
-        canon = tuple(
-            jnp.full((r, hit_buffer), 0xFFFFFFFF, dtype=jnp.uint32)
-            .at[rows_w, tgt].set(wd, mode="drop")
-            for wd in canon
+        outs, _, pre_dropped = compact_rows(
+            cand, (*canon, is_fwd), hit_buffer,
+            (*(jnp.uint32(0xFFFFFFFF),) * len(canon), False),
         )
-        is_fwd = (
-            jnp.zeros((r, hit_buffer), dtype=bool)
-            .at[rows_w, tgt].set(is_fwd, mode="drop")
-        )
+        canon, is_fwd = outs[:-1], outs[-1]
         # the all-ones sentinel word is unreachable by real canonical codes
         valid = canon[0] != jnp.uint32(0xFFFFFFFF)
-        n_cand = jnp.sum(cand, axis=1).astype(jnp.int32)
-        pre_dropped = jnp.maximum(n_cand - hit_buffer, 0)
     pos = _table_lookup(lib_words, table, canon, k, bits, steps)
     hits, n_hits, dropped = _hits_from_positions(
         pos, lib_words, canon, is_fwd, valid, max_hits, hit_buffer
