@@ -215,23 +215,61 @@ def pack_reads_native(
     pad_rows_to: int = 8,
     bit_packed: bool = False,
     threads: int = 1,
+    split_overlap: int | None = None,
 ) -> PackedReads:
     """Native-parse + vectorized numpy bucketing; behaviorally identical to
     pack_reads(read_fastx(path), ...). bit_packed=True stores the 2-bit
     packed form (4 bases/byte + validity bits) instead of the byte matrix —
     ~3.6x smaller host memory and host->device upload; unpacked on device
-    (kmers.codec.unpack_bases)."""
+    (kmers.codec.unpack_bases). split_overlap (= k-1) chunk-splits reads
+    longer than the largest bucket instead of truncating them."""
+    from fedrann_tpu.io.packing import segment_spans
+
     names, codes, offsets = parse_fastx_native(path, threads)
     buckets = sorted(length_buckets)
     lengths = np.diff(offsets).astype(np.int64)
     bucket_of = np.searchsorted(buckets, lengths)
-    n_truncated = int(np.sum(bucket_of == len(buckets)))
-    bucket_of = np.minimum(bucket_of, len(buckets) - 1)
-    if n_truncated:
-        logger.warning(
-            "%d reads longer than the largest length bucket (%d) were truncated",
-            n_truncated, buckets[-1],
+    over = np.flatnonzero(bucket_of == len(buckets))
+    split_ids = None
+    n_truncated = 0
+    # (read_index, start, seg_len) triples; in-bucket reads are whole spans
+    seg_read = np.arange(len(lengths), dtype=np.int64)
+    seg_start = np.zeros(len(lengths), dtype=np.int64)
+    seg_len = lengths.copy()
+    if split_overlap is not None and len(over):
+        split_ids = over.astype(np.int32)
+        extra_read, extra_start, extra_len = [], [], []
+        for r in over:
+            for start, seg in segment_spans(
+                int(lengths[r]), buckets[-1], split_overlap
+            ):
+                extra_read.append(r)
+                extra_start.append(start)
+                extra_len.append(seg)
+        keep = np.ones(len(lengths), dtype=bool)
+        keep[over] = False
+        seg_read = np.concatenate([seg_read[keep], extra_read])
+        seg_start = np.concatenate([seg_start[keep], extra_start])
+        seg_len = np.concatenate([seg_len[keep], extra_len])
+        logger.info(
+            "%d reads longer than the largest bucket (%d) were chunk-split",
+            len(over), buckets[-1],
         )
+    else:
+        n_truncated = len(over)
+        if n_truncated:
+            logger.warning(
+                "%d reads longer than the largest length bucket (%d) were "
+                "truncated", n_truncated, buckets[-1],
+            )
+    bucket_of = np.minimum(np.searchsorted(buckets, seg_len),
+                           len(buckets) - 1)
+    # virtual offset pairs: the C fill functions read offsets[r] and
+    # offsets[r+1], so segment (start, len) becomes the consecutive pair
+    # (base+start, base+start+len) at virtual row 2i
+    virt_offsets = np.empty(2 * len(seg_read), dtype=np.uint64)
+    virt_offsets[0::2] = offsets[seg_read] + seg_start
+    virt_offsets[1::2] = offsets[seg_read] + seg_start + seg_len
 
     out = []
     for b, bucket_len in enumerate(buckets):
@@ -239,14 +277,14 @@ def pack_reads_native(
         if len(rows) == 0:
             continue
         padded_rows = -(-len(rows) // pad_rows_to) * pad_rows_to
-        blens = np.minimum(lengths[rows], bucket_len)
+        blens = np.minimum(seg_len[rows], bucket_len)
         lib = load_native()
-        rows32 = np.ascontiguousarray(rows, dtype=np.int32)
-        offsets64 = np.ascontiguousarray(offsets, dtype=np.uint64)
+        rows32 = np.ascontiguousarray(2 * rows, dtype=np.int32)
+        offsets64 = virt_offsets
         lens_arr = np.zeros(padded_rows, dtype=np.int32)
         lens_arr[: len(rows)] = blens
         read_index = full_fast(padded_rows, -1, np.int32)
-        read_index[: len(rows)] = rows
+        read_index[: len(rows)] = seg_read[rows]
         if bit_packed:
             pk = np.zeros((padded_rows, (bucket_len + 3) // 4), np.uint8)
             vd = np.zeros((padded_rows, (bucket_len + 7) // 8), np.uint8)
@@ -274,4 +312,5 @@ def pack_reads_native(
         out.append(PackedBucket(bases=mat, lengths=lens_arr, read_index=read_index,
                                 length=bucket_len))
 
-    return PackedReads(names=names, buckets=out, n_truncated=n_truncated)
+    return PackedReads(names=names, buckets=out, n_truncated=n_truncated,
+                       split_read_ids=split_ids)

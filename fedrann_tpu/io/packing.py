@@ -68,27 +68,57 @@ class PackedReads:
     names: list[str]                 # global read order = input file order
     buckets: list[PackedBucket]      # ascending bucket length
     n_truncated: int = 0
+    # reads split into multiple bucket rows (ultra-long reads, see
+    # segment_spans); their rows share one read_index, and the embedding
+    # stage merges their hit sets (pipeline.compute_embeddings)
+    split_read_ids: np.ndarray | None = None
 
     @property
     def n_reads(self) -> int:
         return len(self.names)
 
 
+def segment_spans(length: int, max_len: int, overlap: int) -> list[tuple[int, int]]:
+    """(start, len) spans splitting a read of `length` bases into segments
+    of at most max_len with `overlap` shared bases between consecutive
+    segments. With overlap = k-1, every k-window of the read appears in
+    EXACTLY one segment (segment j owns windows starting in
+    [j*stride, j*stride + stride)), so k-mer multiplicity counts over the
+    segment stream equal the unsplit read's — the reference streams
+    unbounded reads (fastx_io.py:158-183); this is the static-shape
+    equivalent."""
+    stride = max_len - overlap
+    if stride <= 0:
+        raise ValueError(f"overlap {overlap} >= segment length {max_len}")
+    spans = []
+    start = 0
+    while True:
+        seg = min(max_len, length - start)
+        spans.append((start, seg))
+        if start + seg >= length:
+            return spans
+        start += stride
+
+
 def pack_reads(
     records: Iterable[FastxRecord],
     length_buckets: Sequence[int],
     pad_rows_to: int = 8,
+    split_overlap: int | None = None,
 ) -> PackedReads:
-    """Group reads into the smallest bucket that fits; longer reads are
-    truncated to the largest bucket (counted + logged). Row counts per bucket
-    are padded up to a multiple of `pad_rows_to` with all-INVALID rows
-    (read_index -1) so downstream device shapes stay tile-friendly."""
+    """Group reads into the smallest bucket that fits. Reads longer than the
+    largest bucket are chunk-split into overlapping segments when
+    split_overlap (= k-1) is given, else truncated (counted + logged). Row
+    counts per bucket are padded up to a multiple of `pad_rows_to` with
+    all-INVALID rows (read_index -1) so downstream device shapes stay
+    tile-friendly."""
     buckets = sorted(length_buckets)
     names: list[str] = []
     per_bucket: list[list[np.ndarray]] = [[] for _ in buckets]
     per_bucket_idx: list[list[int]] = [[] for _ in buckets]
     per_bucket_len: list[list[int]] = [[] for _ in buckets]
     n_truncated = 0
+    split_ids: list[int] = []
 
     for i, rec in enumerate(records):
         names.append(rec.name)
@@ -96,6 +126,17 @@ def pack_reads(
         b = np.searchsorted(buckets, len(codes))
         if b == len(buckets):
             b = len(buckets) - 1
+            if split_overlap is not None:
+                split_ids.append(i)
+                for start, seg in segment_spans(
+                    len(codes), buckets[b], split_overlap
+                ):
+                    sb = int(np.searchsorted(buckets, seg))
+                    sb = min(sb, len(buckets) - 1)
+                    per_bucket[sb].append(codes[start : start + seg])
+                    per_bucket_idx[sb].append(i)
+                    per_bucket_len[sb].append(seg)
+                continue
             codes = codes[: buckets[b]]
             n_truncated += 1
         per_bucket[b].append(codes)
@@ -107,6 +148,11 @@ def pack_reads(
             "%d reads longer than the largest length bucket (%d) were truncated",
             n_truncated,
             buckets[-1],
+        )
+    if split_ids:
+        logger.info(
+            "%d reads longer than the largest bucket (%d) were chunk-split",
+            len(split_ids), buckets[-1],
         )
 
     out: list[PackedBucket] = []
@@ -125,4 +171,7 @@ def pack_reads(
         out.append(PackedBucket(bases=mat, lengths=lengths, read_index=read_index,
                                 length=buckets[b]))
 
-    return PackedReads(names=names, buckets=out, n_truncated=n_truncated)
+    return PackedReads(
+        names=names, buckets=out, n_truncated=n_truncated,
+        split_read_ids=np.asarray(split_ids, np.int32) if split_ids else None,
+    )

@@ -199,6 +199,51 @@ def window_codes(bases: jax.Array, k: int):
     return code, rc, valid
 
 
+def pack_strand(canon: tuple, is_fwd: jax.Array, k: int) -> tuple:
+    """Pack the strand bit INTO the code words so ONE sort key plane (two
+    for k > 16) carries (code, is_fwd) — sorting and deduplicating staged
+    candidates then needs no separate payload plane. Layout:
+      k <= 15:        ((code << 1) | is_fwd,)           [2k+1 <= 31 bits]
+      k == 16:        (code, is_fwd)                    [no spare bit: two planes]
+      17 <= k <= 31:  ((hi << 1) | is_fwd, lo)          [2k-32+1 <= 31 bits]
+    The all-ones sentinel stays all-ones (real packed words never reach it:
+    the top bit is always 0 for k <= 15 / the hi plane). Ordering is NOT
+    code order for two-word packs — only grouping of equal (code, strand)
+    pairs is guaranteed, which is all dedup needs."""
+    fwd_bit = is_fwd.astype(jnp.uint32)
+    sent = canon[0] == jnp.uint32(0xFFFFFFFF)
+    for w in canon[1:]:
+        sent = sent & (w == jnp.uint32(0xFFFFFFFF))
+    if len(canon) == 1:
+        if 2 * k + 1 > 32:
+            # k == 16: strand rides a second plane; force it to the sentinel
+            # value on invalid windows so they sort last under both keys
+            return (canon[0],
+                    jnp.where(sent, jnp.uint32(0xFFFFFFFF), fwd_bit))
+        packed = (canon[0] << jnp.uint32(1)) | fwd_bit
+        return (jnp.where(sent, jnp.uint32(0xFFFFFFFF), packed),)
+    hi, lo = canon
+    packed_hi = (hi << jnp.uint32(1)) | fwd_bit
+    return (jnp.where(sent, jnp.uint32(0xFFFFFFFF), packed_hi), lo)
+
+
+def unpack_strand(planes: tuple, k: int) -> tuple[tuple, jax.Array]:
+    """Inverse of pack_strand: (canon word tuple, is_fwd bool). Sentinel
+    words stay sentinel (is_fwd is meaningless there)."""
+    if len(planes) == 1:
+        sent = planes[0] == jnp.uint32(0xFFFFFFFF)
+        is_fwd = (planes[0] & jnp.uint32(1)) == jnp.uint32(1)
+        code = planes[0] >> jnp.uint32(1)
+        return (jnp.where(sent, jnp.uint32(0xFFFFFFFF), code),), is_fwd
+    a, b = planes
+    if k == 16:
+        return (a,), b == jnp.uint32(1)
+    sent = (a == jnp.uint32(0xFFFFFFFF)) & (b == jnp.uint32(0xFFFFFFFF))
+    is_fwd = (a & jnp.uint32(1)) == jnp.uint32(1)
+    hi = a >> jnp.uint32(1)
+    return (jnp.where(sent, jnp.uint32(0xFFFFFFFF), hi), b), is_fwd
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def canonical_window_codes(bases: jax.Array, k: int):
     """Canonical (min(code, revcomp)) codes of all valid windows.

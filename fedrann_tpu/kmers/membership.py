@@ -1,11 +1,29 @@
-"""Per-read library membership: window codes -> padded unique feature rows.
+"""Per-read library membership: window codes -> feature rows.
 
 TPU-native replacement for the reference's hash-probe hot loop
 (kmer_searcher.cpp:308-349): the sampled library is a sorted vector of
-uint32 code words, membership is a vectorized binary search, and the
-per-read presence *set* (robin_hood::unordered_set there) becomes
-sort + first-occurrence mask + scatter-compaction into a fixed-width
-(R, max_hits) index matrix.
+uint32 code words, membership is a prefix-table-accelerated binary search,
+and the per-read presence *set* (robin_hood::unordered_set there) falls out
+of ONE per-row sort of the strand-packed candidate codes.
+
+Design (round-2 rework, driven by measured per-op costs on v5e — see
+bench/micro_ops.py): per-row dynamic gathers (take_along_axis) cost ~35 ms
+per call at hot shapes while full-width row sorts cost ~35 ms regardless of
+width, so the old stage->compact->lookup->sort->compact chain (4 gather/
+scatter passes + 2 sorts) is collapsed into:
+
+  sort(strand-packed codes, non-candidates = all-ones sentinel)   [1 sort]
+  -> slice first hit_buffer columns                               [free]
+  -> dedup by adjacent equality                                   [elementwise]
+  -> prefix-table lookup + verify                                 [the one
+                                                                   remaining
+                                                                   gather chain]
+  -> feature index (pos | pos+L), sentinel-padded IN PLACE        [elementwise]
+
+Feature rows come out sentinel-padded and sorted by (code, strand) — NOT by
+feature index, and NOT compacted. Downstream consumers (embedding gather,
+device library build) are order/hole-insensitive, so compaction would buy
+nothing and cost a gather pass.
 
 Feature index contract (SURVEY.md §2.5, made deterministic):
   f in [0, L)     read-strand k-mer == canonical library code ("forward half")
@@ -26,11 +44,12 @@ import numpy as np
 
 from fedrann_tpu.kmers.codec import (
     canonical_window_codes,
+    pack_strand,
     u64_to_words,
+    unpack_strand,
     words_eq,
     words_less,
 )
-from fedrann_tpu.ops import compact_rows
 
 
 def library_device_words(lib_codes_u64: np.ndarray, k: int) -> tuple[jax.Array, ...]:
@@ -124,60 +143,12 @@ def _table_lookup(lib_words: tuple, table: jax.Array, canon: tuple,
     return lo
 
 
-def _hits_from_positions(pos, lib_words, canon, is_fwd, valid, max_hits,
-                         hit_buffer):
-    """Shared tail: positions -> found/feature indices -> per-read unique
-    compacted hit rows (presence-set semantics).
-
-    Hit windows are first compacted (gather-based, ops.compact_rows) into a
-    (R, hit_buffer) staging buffer so the per-row dedup sort runs over
-    ~sample_fraction of the windows instead of all of them."""
-    r, w = valid.shape
-    lib_size = lib_words[0].shape[0]
-    sentinel = 2 * lib_size
-    pos_c = jnp.clip(pos, 0, max(lib_size - 1, 0))
-    lib_at = tuple(wd[pos_c] for wd in lib_words)
-    found = valid & (pos < lib_size) & words_eq(lib_at, canon)
-    feat = jnp.where(
-        found,
-        jnp.where(is_fwd, pos_c, pos_c + lib_size),
-        sentinel,
-    ).astype(jnp.int32)
-
-    occ_dropped = jnp.zeros((r,), jnp.int32)
-    if hit_buffer < w:
-        # stage 1: compact hit occurrences (duplicates included, window
-        # order preserved) into the smaller buffer — gather-based (ops.py);
-        # the scatter formulation serialized on TPU
-        (feat,), _, occ_dropped = compact_rows(
-            feat != sentinel, (feat,), hit_buffer, (sentinel,)
-        )
-
-    # presence-set semantics: sort row, keep first occurrences
-    feat_sorted = jnp.sort(feat, axis=1)
-    first = jnp.concatenate(
-        [jnp.ones((r, 1), dtype=bool), feat_sorted[:, 1:] != feat_sorted[:, :-1]],
-        axis=1,
-    )
-    uniq = first & (feat_sorted != sentinel)
-
-    (hits,), n_hits, over = compact_rows(
-        uniq, (feat_sorted,), max_hits, (sentinel,)
-    )
-    return hits, n_hits, over + occ_dropped
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("k", "max_hits", "hit_buffer"))
-def _read_hits_plain(bases, lib_words, k, max_hits, hit_buffer):
-    canon, is_fwd, valid = canonical_window_codes(bases, k)
-    if lib_words[0].shape[0] == 0:
-        pos = jnp.zeros(valid.shape, dtype=jnp.int32)
-        valid = jnp.zeros(valid.shape, dtype=bool)
-    else:
-        pos = _searchsorted_words(lib_words, canon)
-    return _hits_from_positions(pos, lib_words, canon, is_fwd, valid,
-                                max_hits, hit_buffer)
+def _sort_rows(planes: tuple) -> tuple:
+    """Row-wise sort of strand-packed code planes (all planes are keys, so
+    equal (code, strand) pairs land adjacent for dedup)."""
+    if len(planes) == 1:
+        return (jnp.sort(planes[0], axis=1),)
+    return tuple(jax.lax.sort(planes, dimension=1, num_keys=len(planes)))
 
 
 @functools.partial(
@@ -185,12 +156,15 @@ def _read_hits_plain(bases, lib_words, k, max_hits, hit_buffer):
 )
 def stage_candidates(bases, k, hit_buffer, keep_all, seed32, threshold):
     """Shared candidate-extraction stage: canonical windows + sampling-hash
-    filter + per-read compaction, computed ONCE and consumed by both the
-    count and the embed stages (they each re-derived it before).
+    filter + ONE row sort of the strand-packed codes. Computed once and
+    consumed by both the count and the embed stages.
 
-    Returns (staged_words (R, hit_buffer) uint32 tuple — all-ones sentinel
-    padding, is_fwd (R, hit_buffer) bool, n_dropped (R,) int32 candidate
-    occurrences beyond the buffer)."""
+    Returns (planes, n_dropped): planes is the strand-packed
+    (codec.pack_strand) word-plane tuple, each (R, hit_buffer) uint32, rows
+    sorted ascending with the all-ones sentinel on padding — duplicates are
+    KEPT (multiplicity counting needs occurrences; the embed path dedups by
+    adjacency). n_dropped (R,) int32 counts candidate occurrences beyond
+    the buffer."""
     from fedrann_tpu.kmers.codec import sample_hash32
 
     canon, is_fwd, valid = canonical_window_codes(bases, k)
@@ -199,94 +173,93 @@ def stage_candidates(bases, k, hit_buffer, keep_all, seed32, threshold):
         cand = valid
     else:
         cand = valid & (sample_hash32(canon, seed32) < threshold)
-    if hit_buffer >= w:
-        sent = tuple(
-            jnp.where(cand, wd, jnp.uint32(0xFFFFFFFF)) for wd in canon
-        )
-        return sent, is_fwd, jnp.zeros((r,), jnp.int32)
-    # gather-based compaction (ops.py) — the scatter formulation serialized
-    # on TPU (~75M updates/s); this is the round-1 bench's top hotspot
-    outs, _, n_over = compact_rows(
-        cand, (*canon, is_fwd), hit_buffer,
-        (*(jnp.uint32(0xFFFFFFFF),) * len(canon), False),
+    planes = pack_strand(canon, is_fwd, k)
+    masked = tuple(
+        jnp.where(cand, p, jnp.uint32(0xFFFFFFFF)) for p in planes
     )
-    return outs[:-1], outs[-1], n_over
+    sorted_planes = _sort_rows(masked)
+    staged = tuple(p[:, :hit_buffer] for p in sorted_planes)
+    n_cand = jnp.sum(cand, axis=1).astype(jnp.int32)
+    return staged, jnp.maximum(n_cand - hit_buffer, 0)
+
+
+def staged_codes(planes: tuple, k: int) -> tuple:
+    """Canonical code word planes (strand stripped) of a staged buffer —
+    the device library build consumes these (duplicates included)."""
+    canon, _ = unpack_strand(planes, k)
+    return canon
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "max_hits", "bits", "steps")
+    jax.jit, static_argnames=("k", "bits", "steps")
 )
-def _read_hits_staged(staged_words, staged_fwd, lib_words, table, k,
-                      max_hits, bits, steps):
-    """Membership over pre-staged candidates (stage_candidates output)."""
-    valid = staged_words[0] != jnp.uint32(0xFFFFFFFF)
-    pos = _table_lookup(lib_words, table, staged_words, k, bits, steps)
-    return _hits_from_positions(
-        pos, lib_words, staged_words, staged_fwd, valid, max_hits,
-        staged_words[0].shape[1],
-    )
+def _read_hits_staged(planes, lib_words, table, k, bits, steps):
+    """Membership over pre-staged sorted candidates -> feature rows.
 
-
-def read_hits_staged(staged, lib: "LibraryIndex", k: int, max_hits: int):
-    """Forward-scan feature rows from staged candidates; staged is the
-    (words, is_fwd, dropped) triple from stage_candidates. The output width
-    is capped by the staged width (unique hits cannot exceed candidate
-    occurrences), keeping downstream embedding gathers tight."""
-    staged_words, staged_fwd, pre_dropped = staged
-    max_hits = min(max_hits, staged_words[0].shape[1])
-    if lib.words[0].shape[0] == 0:
-        r = staged_words[0].shape[0]
-        # sentinel for an empty library is 2*0 = 0; rows embed as zeros
-        return (jnp.zeros((r, max_hits), jnp.int32),
-                jnp.zeros((r,), jnp.int32), pre_dropped)
-    hits, n_hits, dropped = _read_hits_staged(
-        staged_words, staged_fwd, lib.words, lib.table, k, max_hits,
-        lib.bits, lib.steps,
-    )
-    return hits, n_hits, dropped + pre_dropped
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "max_hits", "bits", "steps", "hit_buffer",
-                     "prefilter"),
-)
-def _read_hits_indexed(bases, lib_words, table, k, max_hits, bits, steps,
-                       hit_buffer, prefilter, seed32, threshold):
-    canon, is_fwd, valid = canonical_window_codes(bases, k)
-    r, w = valid.shape
-    pre_dropped = jnp.zeros((r,), jnp.int32)
-    if prefilter and hit_buffer < w:
-        # every library code passes the sampling hash (the library was
-        # built with the same seed/threshold), so windows that fail it can
-        # never hit — compact candidates BEFORE the gather-heavy lookup.
-        # Gather volume drops by ~1/sample_fraction.
-        from fedrann_tpu.kmers.codec import sample_hash32
-
-        cand = valid & (sample_hash32(canon, seed32) < threshold)
-        outs, _, pre_dropped = compact_rows(
-            cand, (*canon, is_fwd), hit_buffer,
-            (*(jnp.uint32(0xFFFFFFFF),) * len(canon), False),
+    Everything after the sort is elementwise except the prefix-table
+    lookup: dedup is an adjacent-equality mask (rows are sorted), and the
+    output feature row keeps the staged layout (sentinel holes, no
+    compaction)."""
+    lib_size = lib_words[0].shape[0]
+    sentinel = 2 * lib_size
+    canon, is_fwd = unpack_strand(planes, k)
+    valid = canon[0] != jnp.uint32(0xFFFFFFFF)
+    for wd in canon[1:]:
+        valid = valid & (wd != jnp.uint32(0xFFFFFFFF))
+    # presence-set semantics: drop repeat occurrences of the same
+    # (code, strand) pair — they are adjacent after the staging sort
+    same_as_left = jnp.zeros_like(valid).at[:, 1:].set(
+        functools.reduce(
+            jnp.logical_and,
+            [p[:, 1:] == p[:, :-1] for p in planes],
         )
-        canon, is_fwd = outs[:-1], outs[-1]
-        # the all-ones sentinel word is unreachable by real canonical codes
-        valid = canon[0] != jnp.uint32(0xFFFFFFFF)
+    )
+    uniq = valid & (~same_as_left)
     pos = _table_lookup(lib_words, table, canon, k, bits, steps)
-    hits, n_hits, dropped = _hits_from_positions(
-        pos, lib_words, canon, is_fwd, valid, max_hits, hit_buffer
+    pos_c = jnp.clip(pos, 0, max(lib_size - 1, 0))
+    lib_at = tuple(wd[pos_c] for wd in lib_words)
+    found = uniq & (pos < lib_size) & words_eq(lib_at, canon)
+    feat = jnp.where(
+        found,
+        jnp.where(is_fwd, pos_c, pos_c + lib_size),
+        sentinel,
+    ).astype(jnp.int32)
+    return feat, jnp.sum(found, axis=1).astype(jnp.int32)
+
+
+def read_hits_staged(staged, lib: "LibraryIndex", k: int,
+                     max_hits: int | None = None):
+    """Forward-scan feature rows from staged candidates (stage_candidates
+    output).
+
+    Returns (hits, n_hits, n_dropped): hits (R, W_staged) int32 feature
+    indices with sentinel (2L) holes — sentinel-padded but NOT compacted
+    and NOT feature-sorted (downstream consumers are order-insensitive);
+    n_hits (R,) real entries; n_dropped (R,) candidate occurrences that
+    overflowed the staging buffer. max_hits is accepted for API
+    compatibility; the staging buffer width is the effective cap."""
+    planes, pre_dropped = staged
+    if lib.words[0].shape[0] == 0:
+        r, w = planes[0].shape
+        # sentinel for an empty library is 2*0 = 0; rows embed as zeros
+        return (jnp.zeros((r, w), jnp.int32),
+                jnp.zeros((r,), jnp.int32), pre_dropped)
+    hits, n_hits = _read_hits_staged(
+        planes, lib.words, lib.table, k, lib.bits, lib.steps,
     )
-    return hits, n_hits, dropped + pre_dropped
+    return hits, n_hits, pre_dropped
 
 
 def read_hits(
     bases: jax.Array,            # (R, L_read) uint8
     lib,                         # word-plane tuple OR LibraryIndex
     k: int,
-    max_hits: int,
+    max_hits: int | None = None,
     hit_buffer: int | None = None,
     sampling: tuple | None = None,
 ):
-    """Forward-scan feature rows for a bucket of reads.
+    """Forward-scan feature rows for a bucket of reads (staging + lookup in
+    one call — the pipeline stages once and calls read_hits_staged).
 
     `lib` is either the uint32 word-plane tuple (plain binary search) or a
     LibraryIndex (prefix-table fast path). `sampling=(seed, fraction)`
@@ -295,41 +268,75 @@ def read_hits(
     an exact optimization in that case and wrong otherwise.
 
     Returns:
-      hits      (R, max_hits) int32, sorted ascending, padded with 2L
-      n_hits    (R,) int32 number of real entries (<= max_hits)
-      n_dropped (R,) int32 distinct hits dropped by the max_hits cap
+      hits      (R, W_staged) int32, sentinel-padded (2L), unordered
+      n_hits    (R,) int32 number of real entries
+      n_dropped (R,) int32 candidate occurrences beyond the staging buffer
     """
     w = bases.shape[1] - k + 1
+    prefilter = sampling is not None and float(sampling[1]) < 1.0
     if hit_buffer is None:
-        hit_buffer = w
-    hit_buffer = min(w, 1 << (int(hit_buffer) - 1).bit_length())
-    if isinstance(lib, LibraryIndex):
-        if lib.words[0].shape[0] == 0:
-            return _read_hits_plain(bases, lib.words, k, max_hits, hit_buffer)
-        prefilter = sampling is not None and sampling[1] < 1.0
-        if prefilter:
-            seed32 = jnp.uint32(np.uint32(int(sampling[0]) & 0xFFFFFFFF))
-            threshold = jnp.uint32(
-                min(int(float(sampling[1]) * 2.0**32), 2**32 - 1)
-            )
-        else:
-            seed32 = jnp.uint32(0)
-            threshold = jnp.uint32(0)
-        return _read_hits_indexed(
-            bases, lib.words, lib.table, k, max_hits, lib.bits, lib.steps,
-            hit_buffer, prefilter, seed32, threshold,
+        hit_buffer = w if not prefilter else min(
+            w, 1 << (max(1024, int(2.5 * float(sampling[1]) * w)) - 1)
+            .bit_length()
         )
-    return _read_hits_plain(bases, lib, k, max_hits, hit_buffer)
+    hit_buffer = min(w, 1 << (int(hit_buffer) - 1).bit_length())
+    if prefilter:
+        seed32 = jnp.uint32(np.uint32(int(sampling[0]) & 0xFFFFFFFF))
+        threshold = jnp.uint32(
+            min(int(float(sampling[1]) * 2.0**32), 2**32 - 1)
+        )
+    else:
+        seed32 = jnp.uint32(0)
+        threshold = jnp.uint32(0)
+    staged = stage_candidates(
+        bases, k, hit_buffer, not prefilter, seed32, threshold
+    )
+    if isinstance(lib, LibraryIndex):
+        return read_hits_staged(staged, lib, k, max_hits)
+    # raw word-plane tuple: plain binary search (test/fallback path)
+    planes, pre_dropped = staged
+    if lib[0].shape[0] == 0:
+        r, wq = planes[0].shape
+        return (jnp.zeros((r, wq), jnp.int32),
+                jnp.zeros((r,), jnp.int32), pre_dropped)
+    hits, n_hits = _read_hits_plain(planes, lib, k)
+    return hits, n_hits, pre_dropped
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _read_hits_plain(planes, lib_words, k):
+    lib_size = lib_words[0].shape[0]
+    sentinel = 2 * lib_size
+    canon, is_fwd = unpack_strand(planes, k)
+    valid = canon[0] != jnp.uint32(0xFFFFFFFF)
+    for wd in canon[1:]:
+        valid = valid & (wd != jnp.uint32(0xFFFFFFFF))
+    same_as_left = jnp.zeros_like(valid).at[:, 1:].set(
+        functools.reduce(
+            jnp.logical_and,
+            [p[:, 1:] == p[:, :-1] for p in planes],
+        )
+    )
+    uniq = valid & (~same_as_left)
+    pos = _searchsorted_words(lib_words, canon)
+    pos_c = jnp.clip(pos, 0, max(lib_size - 1, 0))
+    lib_at = tuple(wd[pos_c] for wd in lib_words)
+    found = uniq & (pos < lib_size) & words_eq(lib_at, canon)
+    feat = jnp.where(
+        found,
+        jnp.where(is_fwd, pos_c, pos_c + lib_size),
+        sentinel,
+    ).astype(jnp.int32)
+    return feat, jnp.sum(found, axis=1).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("lib_size",))
 def mirror_hits(hits: jax.Array, lib_size: int) -> jax.Array:
     """Reverse-complement row via the i <-> i+L index mirror; padding
-    (sentinel 2L) is preserved. Output re-sorted ascending."""
+    (sentinel 2L) is preserved."""
     sentinel = 2 * lib_size
-    mirrored = jnp.where(
+    return jnp.where(
         hits >= sentinel,
         sentinel,
         jnp.where(hits < lib_size, hits + lib_size, hits - lib_size),
     )
-    return jnp.sort(mirrored, axis=1)

@@ -233,8 +233,11 @@ def run_pipeline_multihost(config):
     del chunks
     # local shard with min_multiplicity=1 so thinly-spread k-mers survive;
     # the global threshold applies after the count merge
+    from fedrann_tpu.kmers.membership import staged_codes
+
     shard_lib = build_library_on_device(
-        [s[0] for s, _ in staged], config.kmer_size, 1,
+        [staged_codes(s[0], config.kmer_size) for s, _ in staged],
+        config.kmer_size, 1,
         config.kmer_sample_fraction, config.seed,
         presampled=config.kmer_sample_fraction < 1.0,
     )

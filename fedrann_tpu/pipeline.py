@@ -153,7 +153,7 @@ def _stage_all_candidates(device_chunks, config: PipelineConfig):
     # ONE device round-trip for the overflow total (a per-chunk int() costs
     # a full tunnel RTT each on remote hosts)
     overflow = int(jax.device_get(
-        sum(jnp.sum(s[2]) for s, _ in out)
+        sum(jnp.sum(s[1]) for s, _ in out)
     )) if out else 0
     if overflow:
         logger.warning(
@@ -480,7 +480,12 @@ def _load_or_build_library(
         )
     else:
         staged_chunks = get_staged()
-    canon_chunks = [staged[0] for staged, _ in staged_chunks]
+    from fedrann_tpu.kmers.membership import staged_codes
+
+    canon_chunks = [
+        staged_codes(staged[0], config.kmer_size)
+        for staged, _ in staged_chunks
+    ]
     library = build_library_on_device(
         canon_chunks, config.kmer_size, config.kmer_min_multiplicity,
         config.kmer_sample_fraction, config.seed,

@@ -136,11 +136,15 @@ def test_read_hits_match_oracle(k):
             assert len(got) == 0
             continue
         expect = oracle.read_feature_indices(sim.sequences[ri], k, lib)
-        assert np.array_equal(got, expect), f"read {ri}"
+        # hits are sentinel-padded and (code, strand)-ordered, not
+        # feature-ordered: compare as sets
+        assert np.array_equal(np.sort(got), expect), f"read {ri}"
         assert n_hits[row] == len(expect)
 
 
-def test_read_hits_cap_drops_and_reports():
+def test_read_hits_buffer_drops_and_reports():
+    """An undersized staging buffer must REPORT drops (the buffer is the
+    effective cap; max_hits is advisory)."""
     sim = simulate_reads(genome_length=4000, coverage=3, mean_read_length=600, seed=6)
     k = 9
     lib = _mk_library(sim, k, frac=1.0, min_mult=1)
@@ -152,17 +156,19 @@ def test_read_hits_cap_drops_and_reports():
     cap = 16
     hits, n_hits, dropped = read_hits(
         jnp.asarray(bucket.bases), library_device_words(lib.codes, k),
-        k, max_hits=cap,
+        k, max_hits=cap, hit_buffer=cap,
     )
     hits, n_hits, dropped = map(np.asarray, (hits, n_hits, dropped))
     real = bucket.read_index >= 0
-    assert dropped[real].sum() > 0  # dense library must overflow a cap of 16
+    assert dropped[real].sum() > 0  # every window staged: 16 slots overflow
     assert n_hits.max() <= cap
-    sentinel = 2 * lib.size
-    # kept entries are the smallest feature indices, sorted, no sentinel
+    # kept entries are the smallest (code, strand) candidates — a subset of
+    # the oracle's feature set
     row = int(np.where(real)[0][0])
     expect = oracle.read_feature_indices(sim.sequences[bucket.read_index[row]], k, lib)
-    assert np.array_equal(hits[row], expect[:cap]) or len(expect) < cap
+    sentinel = 2 * lib.size
+    got = hits[row][hits[row] != sentinel]
+    assert set(got) <= set(expect)
 
 
 def test_mirror_hits_matches_oracle():
@@ -172,8 +178,7 @@ def test_mirror_hits_matches_oracle():
     mirrored = np.asarray(mirror_hits(jnp.asarray(hits), lib_size))
     real = mirrored[0][mirrored[0] != sentinel]
     expect = oracle.mirror_indices(np.array([0, 3, 12, 17]), lib_size)
-    assert np.array_equal(real, expect)
-    assert np.all(np.diff(mirrored[0]) >= 0)
+    assert np.array_equal(np.sort(real), np.sort(expect))
 
 
 def test_icf_and_precompute_match_oracle():
@@ -294,12 +299,20 @@ def test_read_hits_hit_buffer_matches_full():
     )
     bases = jnp.asarray(packed.buckets[0].bases)
     lw = library_device_words(lib.codes, k)
-    full = read_hits(bases, lw, k, max_hits=2048)
-    small = read_hits(bases, lw, k, max_hits=2048, hit_buffer=512)
-    assert np.array_equal(np.asarray(full[0]), np.asarray(small[0]))
+    seed, frac = 11, 0.2
+    lib_s = oracle.build_library(sim.sequences, k, 2, frac, seed)
+    lws = library_device_words(lib_s.codes, k)
+    full = read_hits(bases, lws, k, sampling=(seed, frac), hit_buffer=2048)
+    small = read_hits(bases, lws, k, sampling=(seed, frac), hit_buffer=512)
+    # widths differ (staged width = buffer); found features must not
+    sent = 2 * lib_s.size
+    hf, hs = np.asarray(full[0]), np.asarray(small[0])
+    for r in range(hf.shape[0]):
+        assert np.array_equal(np.sort(hf[r][hf[r] != sent]),
+                              np.sort(hs[r][hs[r] != sent]))
     assert np.array_equal(np.asarray(full[1]), np.asarray(small[1]))
     # an absurdly small buffer must REPORT drops, not silently lose hits
-    tiny = read_hits(bases, lw, k, max_hits=2048, hit_buffer=2)
+    tiny = read_hits(bases, lws, k, sampling=(seed, frac), hit_buffer=2)
     assert np.asarray(tiny[2]).sum() > 0
 
 
@@ -319,10 +332,14 @@ def test_read_hits_sampling_prefilter_exact(k):
     )
     bases = jnp.asarray(packed.buckets[0].bases)
     index = build_library_index(lib.codes, k)
-    base = read_hits(bases, index, k, 2048, hit_buffer=1024)
+    base = read_hits(bases, index, k, 2048, hit_buffer=2048)
     pref = read_hits(bases, index, k, 2048, hit_buffer=1024,
                      sampling=(seed, frac))
-    assert np.array_equal(np.asarray(base[0]), np.asarray(pref[0]))
+    sent = 2 * lib.size
+    hb, hp = np.asarray(base[0]), np.asarray(pref[0])
+    for r in range(hb.shape[0]):
+        assert np.array_equal(np.sort(hb[r][hb[r] != sent]),
+                              np.sort(hp[r][hp[r] != sent])), f"row {r}"
     assert np.array_equal(np.asarray(base[1]), np.asarray(pref[1]))
     assert np.asarray(pref[2]).sum() == 0
 
@@ -345,7 +362,8 @@ def test_staged_candidates_path_matches_classic(k):
     )
     bases = jnp.asarray(packed.buckets[0].bases)
     index = build_library_index(lib.codes, k)
-    classic = read_hits(bases, index, k, 1024)
+    classic = read_hits(bases, index, k, 1024, hit_buffer=1024,
+                        sampling=(seed, frac))
     seed32 = jnp.uint32(seed)
     thr = jnp.uint32(int(frac * 2**32))
     staged = stage_candidates(bases, k, 1024, False, seed32, thr)
