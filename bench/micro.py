@@ -82,6 +82,27 @@ def bench_embed(hits, p_ext, p_swapped):
           f"({t*N_CHUNKS:.2f} s bench-total)")
 
 
+def bench_fused(staged, codes, p_ext):
+    from fedrann_tpu.project.pallas_embed import (
+        build_q_cat,
+        merge_embed,
+        prepare_library,
+    )
+
+    lib_flat = prepare_library(codes, K)
+    q = build_q_cat(p_ext, len(codes), tile=512)
+    planes = staged[0]
+    t = _time(
+        lambda s: merge_embed(s, lib_flat, q, k=K,
+                              lib_size=len(codes), tile=512,
+                              block_rows=32),
+        planes)
+    print(f"merge_embed (fused)      {t*1e3:8.1f} ms/chunk  "
+          f"({t*N_CHUNKS:.2f} s bench-total)")
+    return merge_embed(planes, lib_flat, q, k=K, lib_size=len(codes),
+                       tile=512, block_rows=32)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     print(f"devices: {jax.devices()}", file=sys.stderr)
@@ -102,6 +123,18 @@ def main():
     lib = build_library_index(codes, K)
 
     staged = bench_stage(bases) if which in ("stage", "all") else None
+    if which == "fused":
+        from fedrann_tpu.kmers.membership import stage_candidates
+        staged = stage_candidates(
+            bases, K, HIT_BUFFER, False, jnp.uint32(SEED),
+            jnp.uint32(int(FRACTION * 2**32)))
+        p_ext = jnp.asarray(
+            np.random.default_rng(2).normal(size=(2 * len(codes) + 1, D))
+            .astype(np.float32))
+        _, _, nh = bench_fused(staged, codes, p_ext)
+        print(f"  mean hits/read: {float(jnp.mean(nh)):.0f}",
+              file=sys.stderr)
+        return
     if which in ("membership", "embed", "all"):
         if staged is None:
             from fedrann_tpu.kmers.membership import stage_candidates

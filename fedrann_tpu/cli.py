@@ -39,8 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Minimum allowed frequency of a k-mer in all reads.")
     p.add_argument("--threads", type=int, default=1,
                    help="Host-side worker threads (I/O).")
-    p.add_argument("--chunk-size", type=int, default=1000,
-                   help="Reads per host-side processing chunk.")
+    p.add_argument("--chunk-size", type=int, default=None,
+                   help="Reads per device batch (default: auto-sized).")
     p.add_argument("-n", "--embedding-dimension", type=int, default=500)
     p.add_argument("--nndescent-n-trees", type=int, default=300,
                    help="Accepted for reference-CLI parity; unused (search is exact).")

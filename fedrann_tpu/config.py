@@ -26,7 +26,12 @@ class PipelineConfig:
     kmer_sample_fraction: float = 0.005   # --kmer-sample-fraction
     kmer_min_multiplicity: int = 2        # --kmer-min-multiplicity
     threads: int = 1                      # --threads (host-side IO workers)
-    chunk_size: int = 1000                # --chunk-size (reads per device batch)
+    # --chunk-size (reads per device batch). None = auto: window_batch
+    # decides, keeping device program launches few (every launch pays a
+    # tunnel round-trip on remote-compile hosts). The reference's default
+    # of 1000 sized process-pool tasks (__main__.py:120-125) — an
+    # explicitly-passed value is still honored as a hard cap.
+    chunk_size: Optional[int] = None
     embedding_dimension: int = 500        # -n / --embedding-dimension
     n_neighbors: int = 50                 # --nndescent-n-neighbors
     n_trees: int = 300                    # accepted for CLI parity; unused by
@@ -48,7 +53,10 @@ class PipelineConfig:
     # (kmer_searcher.cpp:309). Hits beyond the cap are dropped and logged.
     max_hits_per_read: int = 4096
     # Number of window positions processed per device batch in k-mer stages.
-    window_batch: int = 1 << 22
+    # 32M windows = 2048 rows at the 16 kb bucket: big batches keep the
+    # launch count low (per-launch tunnel latency fluctuates 0.1-60 ms on
+    # this platform) while intermediates stay comfortably in HBM.
+    window_batch: int = 1 << 25
     # Padded read-length buckets (bases). Reads are grouped into the smallest
     # bucket that fits; reads longer than the last bucket are truncated (logged).
     length_buckets: Sequence[int] = (4096, 16384, 65536, 262144)

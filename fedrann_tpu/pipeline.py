@@ -56,6 +56,21 @@ class PipelineResult:
     overlaps_path: Optional[str] = None
 
 
+_TIMING = bool(os.environ.get("FEDRANN_TPU_TIMING"))
+
+
+def _tlog(tag: str, t0: float) -> float:
+    """Sub-stage wall timer (FEDRANN_TPU_TIMING=1): prints the elapsed time
+    since t0 and returns a fresh mark. Diagnoses where pipeline wall time
+    goes on hosts whose per-launch/transfer latency fluctuates 30x."""
+    import time as _time
+
+    now = _time.perf_counter()
+    if _TIMING:
+        print(f"[timing] {tag}: {now - t0:.3f}s", flush=True)
+    return now
+
+
 def _pad_chunk(chunk: np.ndarray, rows: int, fill) -> np.ndarray:
     """Pad a final partial chunk up to the full chunk shape so every chunk of
     a bucket shares ONE compiled executable (compile time dominates on
@@ -78,6 +93,9 @@ def _device_chunks(packed: PackedReads, window_batch: int,
     from fedrann_tpu.io.packing import INVALID
     from fedrann_tpu.kmers.codec import unpack_bases
 
+    import time as _time
+
+    _t = _time.perf_counter()
     out = []
     for bucket in packed.buckets:
         length = bucket.length or (
@@ -87,6 +105,10 @@ def _device_chunks(packed: PackedReads, window_batch: int,
         if chunk_size:
             rows = max(8, min(rows, chunk_size // 8 * 8 or 8))
         n_rows_total = bucket.read_index.shape[0]
+        # never pad a small bucket up to the full batch size: cap by the
+        # bucket's own row count rounded to a pow2 size class (keeps the
+        # compiled-shape set small without inflating tiny workloads)
+        rows = min(rows, max(8, 1 << (max(n_rows_total, 1) - 1).bit_length()))
         for start in range(0, n_rows_total, rows):
             idx = _pad_chunk(
                 bucket.read_index[start : start + rows].reshape(-1, 1), rows, -1
@@ -107,6 +129,10 @@ def _device_chunks(packed: PackedReads, window_batch: int,
                 )
                 dev = unpack_bases(jnp.asarray(pk), jnp.asarray(vd), length)
                 out.append((dev, idx))
+    _t = _tlog("device_chunks queue", _t)
+    if _TIMING:
+        jax.block_until_ready([d for d, _ in out])
+        _tlog("device_chunks block", _t)
     return out
 
 
@@ -133,6 +159,9 @@ def _stage_all_candidates(device_chunks, config: PipelineConfig):
     threshold = jnp.uint32(
         min(int(config.kmer_sample_fraction * 2.0**32), 2**32 - 1)
     )
+    import time as _time
+
+    _t = _time.perf_counter()
     out = []
     for dev_bases, idx in device_chunks:
         w = dev_bases.shape[1] - config.kmer_size + 1
@@ -150,11 +179,13 @@ def _stage_all_candidates(device_chunks, config: PipelineConfig):
             seed32, threshold,
         )
         out.append((staged, idx))
+    _t = _tlog("stage queue", _t)
     # ONE device round-trip for the overflow total (a per-chunk int() costs
     # a full tunnel RTT each on remote hosts)
     overflow = int(jax.device_get(
         sum(jnp.sum(s[1]) for s, _ in out)
     )) if out else 0
+    _t = _tlog("stage sync", _t)
     if overflow:
         logger.warning(
             "candidate staging overflowed by %d occurrences; k-mer counts "
@@ -178,12 +209,16 @@ def compute_embeddings(
     Returns (device matrix view, dropped_hits)."""
     from fedrann_tpu.kmers.membership import read_hits_staged
 
+    import time as _time
+
+    _t = _time.perf_counter()
     n_reads = packed.n_reads
     d = p_ext.shape[1]
     buf = jnp.zeros((2 * n_reads + 1, d), dtype=jnp.float32)
     lib_index = build_library_index(library.codes, config.kmer_size)
     p_swapped = swap_halves(p_ext, library.size)
     dropped_parts = []
+    _t = _tlog("embed prep (lib index upload)", _t)
 
     for staged, idx in staged_chunks:
         hits, _, dropped = read_hits_staged(
@@ -195,8 +230,10 @@ def compute_embeddings(
         t_rev = jnp.asarray(np.where(idx >= 0, 2 * idx + 1, garbage))
         buf = _scatter_embeddings(buf, t_fwd, t_rev, e_fwd, e_rev)
         dropped_parts.append(jnp.sum(dropped))
+    _t = _tlog("embed queue", _t)
     total_dropped = int(sum(int(x) for x in jax.device_get(dropped_parts))) \
         if dropped_parts else 0
+    _t = _tlog("embed sync", _t)
     if total_dropped:
         logger.warning(
             "max_hits_per_read=%d dropped %d distinct hits; raise the cap "
