@@ -19,6 +19,22 @@ single JAX/XLA/Pallas framework:
 
 import os as _os
 
+# This platform's VMs fault in fresh pages at ~30 MB/s (measured: first
+# touch of a 64 MB numpy buffer costs 2.4 s; the same buffer reused costs
+# 2 ms). glibc returns every >128 KB free back to the OS (mmap threshold),
+# so each large numpy/XLA host allocation re-faults from scratch — one
+# 8 MB chunk pad cost ~1 s PER PIPELINE RUN. Raising the mmap threshold
+# keeps big buffers on the reusable brk heap: only the process's
+# high-water mark is ever faulted once.
+try:
+    import ctypes as _ctypes
+
+    _libc = _ctypes.CDLL("libc.so.6", use_errno=True)
+    _libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+    _libc.mallopt(-4, 0)        # M_MMAP_MAX: never mmap, always reuse heap
+except OSError:  # non-glibc platforms: skip
+    pass
+
 import jax as _jax
 
 # k-mer codes for k <= 31 need up to 62 bits; enable 64-bit types once,

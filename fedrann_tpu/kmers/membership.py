@@ -183,6 +183,20 @@ def stage_candidates(bases, k, hit_buffer, keep_all, seed32, threshold):
     return staged, jnp.maximum(n_cand - hit_buffer, 0)
 
 
+def staging_width(w: int, fraction: float) -> int:
+    """Per-read candidate-buffer width: sampling mean + 6 sigma, rounded
+    up to a multiple of 512 (capped at the window count). Every downstream
+    membership/embed gather scales with this width, and gathers are
+    per-element-bound on this platform (~8 ns/elem forced — bench notes),
+    so tight sizing matters more than pow2 shape classes. Occurrences are
+    Poisson-ish for non-repetitive reads (6 sigma = never drops); heavily
+    repetitive reads can exceed any fixed multiplier and are caught by the
+    overflow counter + warning instead."""
+    mean = fraction * w
+    width = int(mean + 6.0 * mean ** 0.5) + 1
+    return min(w, max(512, -(-width // 512) * 512))
+
+
 def staged_codes(planes: tuple, k: int) -> tuple:
     """Canonical code word planes (strand stripped) of a staged buffer —
     the device library build consumes these (duplicates included)."""
@@ -275,11 +289,10 @@ def read_hits(
     w = bases.shape[1] - k + 1
     prefilter = sampling is not None and float(sampling[1]) < 1.0
     if hit_buffer is None:
-        hit_buffer = w if not prefilter else min(
-            w, 1 << (max(1024, int(2.5 * float(sampling[1]) * w)) - 1)
-            .bit_length()
+        hit_buffer = w if not prefilter else staging_width(
+            w, float(sampling[1])
         )
-    hit_buffer = min(w, 1 << (int(hit_buffer) - 1).bit_length())
+    hit_buffer = min(w, max(8, -(-int(hit_buffer) // 8) * 8))
     if prefilter:
         seed32 = jnp.uint32(np.uint32(int(sampling[0]) & 0xFFFFFFFF))
         threshold = jnp.uint32(

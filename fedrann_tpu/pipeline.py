@@ -109,26 +109,37 @@ def _device_chunks(packed: PackedReads, window_batch: int,
         # bucket's own row count rounded to a pow2 size class (keeps the
         # compiled-shape set small without inflating tiny workloads)
         rows = min(rows, max(8, 1 << (max(n_rows_total, 1) - 1).bit_length()))
+        # ONE host->device transfer per bucket array (no host-side pad
+        # copies: fresh multi-MB numpy allocations fault pages at ~30 MB/s
+        # on this platform); chunks are device-side slices, and only the
+        # final partial chunk pays a device pad
+        if bucket.bases is not None:
+            whole = (jnp.asarray(bucket.bases),)
+            fills = (INVALID,)
+        else:
+            whole = (jnp.asarray(bucket.packed_bases),
+                     jnp.asarray(bucket.valid_bits))
+            fills = (0, 0)
         for start in range(0, n_rows_total, rows):
             idx = _pad_chunk(
                 bucket.read_index[start : start + rows].reshape(-1, 1), rows, -1
             ).ravel()
+            end = min(start + rows, n_rows_total)
+            parts = []
+            for arr, fill in zip(whole, fills):
+                sl = jax.lax.slice_in_dim(arr, start, end, axis=0)
+                if end - start < rows:
+                    pad = jnp.full(
+                        (rows - (end - start), arr.shape[1]), fill, arr.dtype
+                    )
+                    sl = jnp.concatenate([sl, pad])
+                parts.append(sl)
             if bucket.bases is not None:
-                chunk = _pad_chunk(
-                    bucket.bases[start : start + rows], rows, INVALID
-                )
-                out.append((jnp.asarray(chunk), idx))
+                out.append((parts[0], idx))
             else:
                 # bit-packed upload (~3.6x less host->device traffic),
                 # unpacked on device; zero-padding rows decode as invalid
-                pk = _pad_chunk(
-                    bucket.packed_bases[start : start + rows], rows, 0
-                )
-                vd = _pad_chunk(
-                    bucket.valid_bits[start : start + rows], rows, 0
-                )
-                dev = unpack_bases(jnp.asarray(pk), jnp.asarray(vd), length)
-                out.append((dev, idx))
+                out.append((unpack_bases(parts[0], parts[1], length), idx))
     _t = _tlog("device_chunks queue", _t)
     if _TIMING:
         jax.block_until_ready([d for d, _ in out])
@@ -165,14 +176,12 @@ def _stage_all_candidates(device_chunks, config: PipelineConfig):
     out = []
     for dev_bases, idx in device_chunks:
         w = dev_bases.shape[1] - config.kmer_size + 1
-        # expected candidate occurrences for a FULL-width read are
-        # ~sample_fraction * W with sigma ~ sqrt(frac*W); 2.5x covers the
-        # worst case by >3 sigma while keeping the staged buffers (which
-        # every downstream gather/sort scales with) tight. Overflow is
-        # detected and warned.
-        hit_buffer = w if keep_all else min(
-            w, 1 << (max(1024, int(2.5 * config.kmer_sample_fraction * w)) - 1)
-            .bit_length()
+        # mean + 6 sigma candidate slack (membership.staging_width);
+        # overflow is detected and warned
+        from fedrann_tpu.kmers.membership import staging_width
+
+        hit_buffer = w if keep_all else staging_width(
+            w, config.kmer_sample_fraction
         )
         staged = stage_candidates(
             dev_bases, config.kmer_size, hit_buffer, keep_all,

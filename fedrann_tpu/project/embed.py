@@ -36,9 +36,17 @@ def embed_hits_pair(
     hits: jax.Array, p_ext: jax.Array, p_swapped: jax.Array,
     hit_chunk: int = 128,
 ) -> tuple[jax.Array, jax.Array]:
-    """(fwd, rev) embeddings from one pass over the forward hit rows."""
+    """(fwd, rev) embeddings from one pass over the forward hit rows.
+
+    Gathers ONE concatenated table [P | P_swapped] (2L+1, 2d) instead of
+    two d-wide tables: TPU row gathers are per-row-bound, not
+    bandwidth-bound (184 -> 132 ms/chunk measured at the hot shape), so
+    half the gathered rows at twice the width is a ~1.4x win. The concat
+    itself is a sequential HBM copy (~3 ms for the bench library) and is
+    re-materialized per call — still far cheaper than the rows it saves."""
     r, h = hits.shape
     d = p_ext.shape[1]
+    p_cat = jnp.concatenate([p_ext, p_swapped], axis=1)
     pad = (-h) % hit_chunk
     if pad:
         sentinel = p_ext.shape[0] - 1
@@ -48,15 +56,13 @@ def embed_hits_pair(
     n_chunks = hits.shape[1] // hit_chunk
     blocks = hits.reshape(r, n_chunks, hit_chunk).transpose(1, 0, 2)
 
-    def body(carry, block):
-        acc_f, acc_r = carry
-        acc_f = acc_f + jnp.take(p_ext, block, axis=0).sum(axis=1)
-        acc_r = acc_r + jnp.take(p_swapped, block, axis=0).sum(axis=1)
-        return (acc_f, acc_r), None
+    def body(acc, block):
+        return acc + jnp.take(p_cat, block, axis=0).sum(axis=1), None
 
-    init = (jnp.zeros((r, d), jnp.float32), jnp.zeros((r, d), jnp.float32))
-    (acc_f, acc_r), _ = jax.lax.scan(body, init, blocks)
-    return acc_f, acc_r
+    acc, _ = jax.lax.scan(
+        body, jnp.zeros((r, 2 * d), jnp.float32), blocks
+    )
+    return acc[:, :d], acc[:, d:]
 
 
 @functools.partial(jax.jit, static_argnames=("hit_chunk",))
