@@ -342,10 +342,23 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
 
         with metrics.stage("project"):
             if config.import_projection:
-                from fedrann_tpu.compat import load_reference_precompute
+                from fedrann_tpu.compat import (
+                    load_reference_library_mapping,
+                    load_reference_precompute,
+                )
 
+                # a reference projection is indexed in the reference's
+                # file-order feature space; with an imported library, the
+                # mapping permutes its rows into OUR sorted-canonical
+                # extended index space so membership hits select exactly
+                # the reference's projection rows (compat.py docstring)
+                perm = None
+                if config.import_library:
+                    _, perm = load_reference_library_mapping(
+                        config.import_library, config.kmer_size
+                    )
                 p_ext = jnp.asarray(
-                    load_reference_precompute(config.import_projection)
+                    load_reference_precompute(config.import_projection, perm)
                 )
                 if p_ext.shape[0] != library.n_features + 1:
                     raise ValueError(

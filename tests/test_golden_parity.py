@@ -1,0 +1,88 @@
+"""Golden parity vs pinned REFERENCE-CODE artifacts (bench/golden/data).
+
+The artifacts were produced by bench/golden/make_golden.py by running the
+reference's own code: kmer_searcher.cpp (compiled with a std-container
+shim for the un-vendored robin-hood header) scanned the pinned reads
+against the pinned sampled library, and fedrann.precompute +
+fedrann.feature_extraction (verbatim, under /root/reference) produced the
+projection and embedding matrix; overlaps_ref.tsv is exact cosine top-k
+over those embeddings with the reference's output semantics
+(__main__.py:261-300). pynndescent itself cannot run in this image
+(numba absent, installs disallowed); exact search dominates its recall
+(SURVEY.md §2.7), so the comparison bounds reference parity from above.
+
+Our pipeline consumes the SAME library and projection via
+--import-library/--import-projection, isolating scanner+embed+knn
+fidelity from sampling differences."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+DATA = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "bench", "golden", "data")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(DATA, "overlaps_ref.tsv")),
+    reason="golden artifacts not generated",
+)
+
+
+@pytest.fixture(scope="module")
+def golden_run():
+    from fedrann_tpu.cli import config_from_args
+    from fedrann_tpu.pipeline import run_pipeline
+
+    out = tempfile.mkdtemp()
+    config = config_from_args([
+        "-i", os.path.join(DATA, "reads.fasta.gz"),
+        "-o", out, "-k", "15",
+        "--import-library", os.path.join(DATA, "fwd_kmer_library.fasta"),
+        "--import-projection", os.path.join(DATA, "precompute.npz"),
+        "--nndescent-n-neighbors", "20",
+        "--seed", "20260817",
+    ])
+    result = run_pipeline(config)
+    return result, out
+
+
+def test_neighbor_recall_vs_reference_output(golden_run):
+    from fedrann_tpu.eval import OverlapTable, neighbor_recall
+
+    _, out = golden_run
+    ref = OverlapTable.read(os.path.join(DATA, "overlaps_ref.tsv"))
+    ours = OverlapTable.read(os.path.join(out, "overlaps.tsv"))
+    rep = neighbor_recall(ref, ours, k=20)
+    assert rep.query_coverage == 1.0
+    assert rep.recall_at_k >= 0.99, rep
+    assert rep.distance_mae < 5e-3, rep
+
+
+def test_embeddings_match_reference(golden_run):
+    """Row-matched (by read name + strand) cosine similarity between our
+    embeddings and the reference feature_extraction output is ~1."""
+    result, _ = golden_run
+    ref_emb = np.load(os.path.join(DATA, "ref_embeddings.npy"))
+    with open(os.path.join(DATA, "ref_row_names.txt")) as f:
+        ref_names = [ln.rstrip("\n") for ln in f]
+    # reference rows: (record r fwd, record r rev) in output.bin record
+    # order; ref_names is the per-ROW name list (each name twice)
+    ref_row = {(ref_names[i], i % 2): i for i in range(len(ref_names))}
+    ours = np.asarray(result.embeddings)
+    names = result.names
+    sims = []
+    for r, name in enumerate(names):
+        for strand in (0, 1):
+            i = ref_row[(name, strand)]
+            a = ours[2 * r + strand]
+            b = ref_emb[i]
+            na, nb = np.linalg.norm(a), np.linalg.norm(b)
+            if na == 0 or nb == 0:
+                assert na == nb == 0
+                continue
+            sims.append(float(a @ b / (na * nb)))
+    assert np.min(sims) > 0.999, (np.min(sims), np.mean(sims))
