@@ -86,6 +86,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", action="store_true",
                    help="Write a jax.profiler trace to <output-dir>/trace.")
     p.add_argument("--log-level", default="INFO")
+    # multi-host launch (one process per host; see parallel/runtime.py)
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="Total processes in a multi-host launch.")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="This process's rank in a multi-host launch.")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of rank 0 (JAX_COORDINATOR_ADDRESS).")
     return p
 
 
@@ -121,14 +128,35 @@ def config_from_args(argv: list[str] | None = None) -> PipelineConfig:
         pack_cache=not args.no_pack_cache,
         profile=args.profile,
         log_level=args.log_level,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+        coordinator=args.coordinator,
     )
 
 
 def main(argv: list[str] | None = None) -> int:
     config = config_from_args(argv)
-    from fedrann_tpu.pipeline import run_pipeline  # defer jax-heavy import
+    import os
 
-    result = run_pipeline(config)
+    multi = (
+        (config.num_processes or 0) > 1
+        or config.coordinator
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    )
+    if multi:
+        from fedrann_tpu.parallel.runtime import run_pipeline_multihost
+
+        out = run_pipeline_multihost(config)
+        if isinstance(out, tuple):
+            library, _emb, _idx, _dist, out_path = out
+            logger.info("done (multihost rank): %d library k-mers, output %s",
+                        library.size, out_path)
+            return 0
+        result = out  # single-process degradation
+    else:
+        from fedrann_tpu.pipeline import run_pipeline  # defer jax-heavy import
+
+        result = run_pipeline(config)
     logger.info("done: %d reads, %d library k-mers, output %s",
                 len(result.names), result.library.size, result.overlaps_path)
     return 0

@@ -96,6 +96,12 @@ class PipelineConfig:
     import_library: Optional[str] = None
     import_projection: Optional[str] = None
     log_level: str = "INFO"
+    # Multi-host launch (parallel/runtime.py): one process per host.
+    # num_processes > 1 (or a coordinator address / JAX_COORDINATOR_ADDRESS)
+    # routes the CLI through run_pipeline_multihost.
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
+    coordinator: Optional[str] = None
 
     @property
     def k(self) -> int:

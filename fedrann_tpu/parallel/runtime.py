@@ -154,11 +154,19 @@ def run_pipeline_multihost(config):
     meshes) is the ICI-optimal drop-in once a pod launcher is attached.
     """
     import jax
+
+    # distributed init MUST precede the first backend touch; importing the
+    # pipeline modules creates device constants (kmers/codec.py), so those
+    # imports come after
+    pid, nproc = initialize_distributed(
+        coordinator_address=getattr(config, "coordinator", None),
+        num_processes=getattr(config, "num_processes", None),
+        process_id=getattr(config, "process_id", None),
+    )
     import jax.numpy as jnp
 
     from fedrann_tpu.pipeline import run_pipeline
 
-    pid, nproc = initialize_distributed()
     if nproc == 1:
         return run_pipeline(config)
 
@@ -264,27 +272,31 @@ def run_pipeline_multihost(config):
     ])
     emb_global = emb_global[keep_rows]
 
+    # tiled local-queries x global-candidates top-k (streams candidate
+    # tiles; never materializes the (2*per, N) score matrix)
+    from fedrann_tpu.knn.topk import knn_exact_block
+
     en = normalize_rows(jnp.asarray(emb_global))
-    q = en[2 * start : 2 * end]
-    scores = jax.lax.dot_general(
-        q.astype(jnp.bfloat16) if config.knn_precision == "bf16" else q,
-        en.astype(jnp.bfloat16) if config.knn_precision == "bf16" else en,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    idx, dist = knn_exact_block(
+        en[2 * start : 2 * end], en, config.n_neighbors,
+        query_tile=config.knn_query_tile,
+        candidate_tile=config.knn_candidate_tile,
+        precision=config.knn_precision,
+        method=config.knn_topk_method,
     )
-    k_nn = min(config.n_neighbors, en.shape[0])
-    top_scores, top_idx = jax.lax.top_k(scores, k_nn)
-    dist = 1.0 - np.asarray(top_scores)
-    idx = np.asarray(top_idx)
+    k_nn = idx.shape[1]
 
     out_path = None
     if config.output_dir:
         os.makedirs(config.output_dir, exist_ok=True)
         out_path = os.path.join(config.output_dir, f"overlaps.rank{pid}.tsv")
-        # query rows are global rows [2*start, 2*end): shift indices for
-        # the shared writer by passing global names and offset rows
-        full_idx = np.full((2 * n_reads, k_nn), -1, np.int64)
-        full_dist = np.ones((2 * n_reads, k_nn), np.float32)
+        # query rows are global rows [2*start, 2*end). The writer indexes
+        # query names by absolute row; foreign ranks' rows are filled with
+        # their own row index so the self-filter drops them (zero output
+        # rows) instead of writing garbage targets.
+        self_rows = np.arange(2 * n_reads, dtype=np.int64)[:, None]
+        full_idx = np.broadcast_to(self_rows, (2 * n_reads, k_nn)).copy()
+        full_dist = np.zeros((2 * n_reads, k_nn), np.float32)
         full_idx[2 * start : 2 * end] = idx
         full_dist[2 * start : 2 * end] = dist
         write_overlaps_path(out_path, packed_all.names, full_idx, full_dist)
