@@ -28,7 +28,8 @@ from fedrann_tpu.logging_utils import logger
 CACHE_VERSION = 2
 
 
-def cache_meta(input_path: str, length_buckets: Sequence[int]) -> dict:
+def cache_meta(input_path: str, length_buckets: Sequence[int],
+               split_overlap: int | None = None) -> dict:
     """Identity of the cached packing; any mismatch invalidates the cache."""
     st = os.stat(input_path)
     return {
@@ -37,6 +38,7 @@ def cache_meta(input_path: str, length_buckets: Sequence[int]) -> dict:
         "size": st.st_size,
         "mtime_ns": st.st_mtime_ns,
         "buckets": [int(b) for b in length_buckets],
+        "split_overlap": split_overlap,
     }
 
 
@@ -52,6 +54,8 @@ def save_packed_cache(cache_path: str, packed: PackedReads, meta: dict) -> None:
         "n_truncated": np.int64(packed.n_truncated),
         "n_buckets": np.int64(len(packed.buckets)),
     }
+    if packed.split_read_ids is not None:
+        arrays["split_ids"] = packed.split_read_ids
     for i, b in enumerate(packed.buckets):
         arrays[f"b{i}_lengths"] = b.lengths
         arrays[f"b{i}_read_index"] = b.read_index
@@ -99,8 +103,12 @@ def load_packed_cache(cache_path: str, meta: dict) -> Optional[PackedReads]:
                 ))
         logger.info("loaded packed-reads cache %s (%d reads)", cache_path,
                     len(names))
-        return PackedReads(names=names, buckets=buckets,
-                           n_truncated=int(data["n_truncated"]))
+        return PackedReads(
+            names=names, buckets=buckets,
+            n_truncated=int(data["n_truncated"]),
+            split_read_ids=(data["split_ids"] if "split_ids" in data
+                            else None),
+        )
     except (OSError, KeyError, ValueError, json.JSONDecodeError) as e:
         logger.warning("packed-reads cache %s unreadable (%s); re-parsing",
                        cache_path, e)

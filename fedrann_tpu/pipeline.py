@@ -227,18 +227,58 @@ def compute_embeddings(
     lib_index = build_library_index(library.codes, config.kmer_size)
     p_swapped = swap_halves(p_ext, library.size)
     dropped_parts = []
+    # chunk-split reads (longer than the largest bucket) have one hit row
+    # PER SEGMENT; those rows are diverted from the normal scatter and
+    # merged as an exact per-read hit UNION below (presence-set semantics
+    # over the whole read, matching the reference's unbounded streaming —
+    # fastx_io.py:158-183 — and our oracle bit-for-bit: with k-1 segment
+    # overlap every window lands in exactly one segment)
+    split_ids = (set(int(i) for i in packed.split_read_ids)
+                 if packed.split_read_ids is not None else set())
+    split_rows: list[tuple[np.ndarray, np.ndarray]] = []
     _t = _tlog("embed prep (lib index upload)", _t)
 
     for staged, idx in staged_chunks:
         hits, _, dropped = read_hits_staged(
             staged, lib_index, config.kmer_size, config.max_hits_per_read
         )
-        e_fwd, e_rev = embed_hits_pair(hits, p_ext, p_swapped)
         garbage = 2 * n_reads
-        t_fwd = jnp.asarray(np.where(idx >= 0, 2 * idx, garbage))
-        t_rev = jnp.asarray(np.where(idx >= 0, 2 * idx + 1, garbage))
+        keep = idx >= 0
+        if split_ids:
+            is_split = np.asarray([int(i) in split_ids for i in idx])
+            seg = keep & is_split
+            if seg.any():
+                rows = np.flatnonzero(seg)
+                split_rows.append((idx[rows], np.asarray(hits[rows])))
+            keep = keep & ~is_split
+        t_fwd = jnp.asarray(np.where(keep, 2 * idx, garbage))
+        t_rev = jnp.asarray(np.where(keep, 2 * idx + 1, garbage))
+        e_fwd, e_rev = embed_hits_pair(hits, p_ext, p_swapped)
         buf = _scatter_embeddings(buf, t_fwd, t_rev, e_fwd, e_rev)
         dropped_parts.append(jnp.sum(dropped))
+
+    if split_rows:
+        sentinel = 2 * library.size
+        by_read: dict[int, list[np.ndarray]] = {}
+        for ids, rows in split_rows:
+            for rid, row in zip(ids, rows):
+                by_read.setdefault(int(rid), []).append(row)
+        unions = []
+        for rid, rows in sorted(by_read.items()):
+            u = np.unique(np.concatenate(rows))
+            unions.append((rid, u[u < sentinel]))
+        width = max(8, -(-max(len(u) for _, u in unions) // 8) * 8)
+        m = len(unions)
+        hit_mat = np.full((m, width), sentinel, np.int32)
+        for r, (_, u) in enumerate(unions):
+            hit_mat[r, : len(u)] = u
+        e_fwd, e_rev = embed_hits_pair(jnp.asarray(hit_mat), p_ext, p_swapped)
+        rids = np.asarray([rid for rid, _ in unions])
+        buf = _scatter_embeddings(
+            buf, jnp.asarray(2 * rids), jnp.asarray(2 * rids + 1),
+            e_fwd, e_rev,
+        )
+        logger.info("merged %d chunk-split reads (exact hit union)", m)
     _t = _tlog("embed queue", _t)
     total_dropped = int(sum(int(x) for x in jax.device_get(dropped_parts))) \
         if dropped_parts else 0
@@ -287,20 +327,26 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                 os.path.join(out_dir, "fxcache.npz")
                 if (config.pack_cache and out_dir) else None
             )
+            # reads longer than the largest bucket are chunk-split into
+            # k-1-overlapped segments (merged back at embed time)
+            split_overlap = config.kmer_size - 1
             packed = None
             meta = None
             if cache_path:
-                meta = cache_meta(config.input_path, config.length_buckets)
+                meta = cache_meta(config.input_path, config.length_buckets,
+                                  split_overlap)
                 packed = load_packed_cache(cache_path, meta)
             if packed is None:
                 if native_io.native_available():
                     packed = native_io.pack_reads_native(
                         config.input_path, config.length_buckets,
                         bit_packed=True, threads=max(1, config.threads),
+                        split_overlap=split_overlap,
                     )
                 else:
                     packed = pack_reads(
-                        read_fastx(config.input_path), config.length_buckets
+                        read_fastx(config.input_path), config.length_buckets,
+                        split_overlap=split_overlap,
                     )
                 if cache_path:
                     save_packed_cache(cache_path, packed, meta)
