@@ -53,13 +53,25 @@ def run_one(cfg, warm: bool = True) -> dict:
         result = run_pipeline(config)
         wall = time.perf_counter() - t0
 
-    truth = sim.truth_overlaps(min_overlap=max(500, cfg.read_len // 4))
+    truth = (sim.truth_overlaps(min_overlap=max(500, cfg.read_len // 4))
+             if len(sim.names) <= 100_000 else None)  # O(N^2)-ish at huge N
     recall = (
         truth_recall(result.neighbor_indices, truth, len(sim.names))
         if truth else float("nan")
     )
+    # stratified: recall over pairs with >= half / >= three-quarter read
+    # overlap (short-overlap pairs share few sampled k-mers and rank low —
+    # a data property, not a search error; the curve documents it)
+    strat = {}
+    for frac_ov in (0.5, 0.75) if truth is not None else ():
+        t2 = sim.truth_overlaps(min_overlap=int(cfg.read_len * frac_ov))
+        if t2:
+            strat[f"recall_ov{int(frac_ov*100)}"] = round(
+                truth_recall(result.neighbor_indices, t2, len(sim.names)), 4)
     return {
+        **strat,
         "config": cfg.name,
+        "warm": warm,
         "n_reads": len(sim.names),
         "reads_per_s": round(len(sim.names) / wall, 2),
         "wall_s": round(wall, 2),
@@ -72,13 +84,27 @@ def run_one(cfg, warm: bool = True) -> dict:
 
 
 def main(argv):
+    # "name:k=N" overrides n_neighbors for recall-vs-k curves
     names = argv or ["ci"]
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "results.jsonl")
+    import dataclasses as _dc
+
+    warm = True
+    if "--cold" in names:
+        # huge rungs: one measured run, compiles included (documented in
+        # the row); a warmup doubles multi-hour walls for no information
+        names = [n for n in names if n != "--cold"]
+        warm = False
     for name in names:
-        cfg = CONFIGS[name]
+        if ":k=" in name:
+            name, kk = name.split(":k=")
+            cfg = _dc.replace(CONFIGS[name], n_neighbors=int(kk),
+                              name=f"{name}:k={kk}")
+        else:
+            cfg = CONFIGS[name]
         print(f"=== {name}: {cfg.models}", file=sys.stderr)
-        row = run_one(cfg)
+        row = run_one(cfg, warm=warm)
         row["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%S")
         print(json.dumps(row))
         with open(out_path, "a") as f:

@@ -38,15 +38,17 @@ def embed_hits_pair(
 ) -> tuple[jax.Array, jax.Array]:
     """(fwd, rev) embeddings from one pass over the forward hit rows.
 
-    Gathers ONE concatenated table [P | P_swapped] (2L+1, 2d) instead of
-    two d-wide tables: TPU row gathers are per-row-bound, not
-    bandwidth-bound (184 -> 132 ms/chunk measured at the hot shape), so
-    half the gathered rows at twice the width is a ~1.4x win. The concat
-    itself is a sequential HBM copy (~3 ms for the bench library) and is
-    re-materialized per call — still far cheaper than the rows it saves."""
+    For small/medium libraries, gathers ONE concatenated table
+    [P | P_swapped] (2L+1, 2d) instead of two d-wide tables: TPU row
+    gathers are per-row-bound, not bandwidth-bound (184 -> 132 ms/chunk
+    measured at the hot shape), so half the gathered rows at twice the
+    width is a ~1.4x win. The concat materializes a second copy of P, so
+    libraries whose doubled table would exceed ~1 GB keep the two-table
+    two-gather path (at 971k k-mers the cat table alone is 8 GB and OOMs
+    a 16 GB chip)."""
     r, h = hits.shape
     d = p_ext.shape[1]
-    p_cat = jnp.concatenate([p_ext, p_swapped], axis=1)
+    use_cat = p_ext.shape[0] * 2 * d * 4 <= (1 << 30)
     pad = (-h) % hit_chunk
     if pad:
         sentinel = p_ext.shape[0] - 1
@@ -56,13 +58,26 @@ def embed_hits_pair(
     n_chunks = hits.shape[1] // hit_chunk
     blocks = hits.reshape(r, n_chunks, hit_chunk).transpose(1, 0, 2)
 
-    def body(acc, block):
-        return acc + jnp.take(p_cat, block, axis=0).sum(axis=1), None
+    if use_cat:
+        p_cat = jnp.concatenate([p_ext, p_swapped], axis=1)
 
-    acc, _ = jax.lax.scan(
-        body, jnp.zeros((r, 2 * d), jnp.float32), blocks
-    )
-    return acc[:, :d], acc[:, d:]
+        def body(acc, block):
+            return acc + jnp.take(p_cat, block, axis=0).sum(axis=1), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((r, 2 * d), jnp.float32), blocks
+        )
+        return acc[:, :d], acc[:, d:]
+
+    def body2(carry, block):
+        acc_f, acc_r = carry
+        acc_f = acc_f + jnp.take(p_ext, block, axis=0).sum(axis=1)
+        acc_r = acc_r + jnp.take(p_swapped, block, axis=0).sum(axis=1)
+        return (acc_f, acc_r), None
+
+    init = (jnp.zeros((r, d), jnp.float32), jnp.zeros((r, d), jnp.float32))
+    (acc_f, acc_r), _ = jax.lax.scan(body2, init, blocks)
+    return acc_f, acc_r
 
 
 @functools.partial(jax.jit, static_argnames=("hit_chunk",))
