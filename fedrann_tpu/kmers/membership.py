@@ -74,19 +74,22 @@ def _code_prefix(words: tuple, k: int, bits: int) -> jax.Array:
 
 
 class LibraryIndex:
-    """Two-level membership index: a dense prefix table (start offset of
-    every `bits`-bit code prefix in the sorted library) plus the word planes.
-    Lookup = one table gather + `steps` binary-search refinements — ~5x
-    fewer passes over HBM than a from-scratch binary search, because the
-    prefix gather lands each query in a tiny bucket."""
+    """Two-level membership index: a dense prefix table over the sorted
+    library plus the word planes. Lookup = one table gather + `steps`
+    binary-search refinements. Every gather pass over the (R, HB) query
+    matrix costs the same (per-row-bound), so the table is sized ~8x the
+    library (buckets mostly 0-1 entries -> 1-2 refinement steps) and,
+    when it fits, packs (start<<4 | bucket_len) into one uint32 so the
+    lo/hi pair costs ONE gather instead of two."""
 
     def __init__(self, words: tuple, table: jax.Array, k: int, bits: int,
-                 steps: int):
+                 steps: int, packed: bool):
         self.words = words
         self.table = table
         self.k = k
         self.bits = bits
         self.steps = steps
+        self.packed = packed
 
 
 def build_library_index(lib_codes_u64: np.ndarray, k: int,
@@ -95,16 +98,33 @@ def build_library_index(lib_codes_u64: np.ndarray, k: int,
     words = library_device_words(lib_codes_u64, k)
     size = len(lib_codes_u64)
     if bits is None:
-        # ~2 entries per bucket on average, capped at a 4M-entry table
-        bits = min(22, max(8, int(size).bit_length()))
+        # ~1/8 entry per bucket on average (gathers dominate lookup cost;
+        # a denser table trades 16 MB of HBM for fewer refinement steps),
+        # capped at a 4M-entry table
+        bits = min(22, max(8, int(size).bit_length() + 3))
     bits = min(bits, 2 * k)
-    lib_prefix = _code_prefix(words, k, bits)
-    table = jnp.searchsorted(
-        lib_prefix, jnp.arange((1 << bits) + 1, dtype=jnp.uint32)
-    ).astype(jnp.int32)
-    max_bucket = int(jnp.max(table[1:] - table[:-1])) if size else 0
+    # host-side prefix (D2H of a device prefix costs ~50 ms/M entries on
+    # this tunnel); identical to _code_prefix on the device words
+    shift = max(2 * k, bits) - bits
+    host_prefix = (
+        (lib_codes_u64.astype(np.uint64) >> np.uint64(shift))
+        & np.uint64((1 << bits) - 1)
+    ).astype(np.uint32)
+    bounds = np.searchsorted(
+        host_prefix,
+        np.arange((1 << bits) + 1, dtype=np.uint32),
+    ).astype(np.int64)
+    max_bucket = int((bounds[1:] - bounds[:-1]).max()) if size else 0
     steps = max(1, int(max_bucket).bit_length())
-    return LibraryIndex(words, table, k, bits, steps)
+    # packed (start, len) single-gather form when both fields fit a u32
+    packed = max_bucket < 16 and size < (1 << 27)
+    if packed:
+        table = jnp.asarray(
+            ((bounds[:-1] << 4) | (bounds[1:] - bounds[:-1])).astype(np.uint32)
+        )
+    else:
+        table = jnp.asarray(bounds.astype(np.int32))
+    return LibraryIndex(words, table, k, bits, steps, packed)
 
 
 def _searchsorted_words(lib_words: tuple, q_words: tuple) -> jax.Array:
@@ -127,12 +147,18 @@ def _searchsorted_words(lib_words: tuple, q_words: tuple) -> jax.Array:
 
 
 def _table_lookup(lib_words: tuple, table: jax.Array, canon: tuple,
-                  k: int, bits: int, steps: int) -> jax.Array:
+                  k: int, bits: int, steps: int,
+                  packed: bool = False) -> jax.Array:
     """Prefix-table gather + fixed-step in-bucket binary search."""
     lib_size = lib_words[0].shape[0]
     q_prefix = _code_prefix(canon, k, bits)
-    lo = table[q_prefix]
-    hi = table[q_prefix + jnp.uint32(1)]
+    if packed:
+        entry = table[q_prefix]
+        lo = (entry >> jnp.uint32(4)).astype(jnp.int32)
+        hi = lo + (entry & jnp.uint32(15)).astype(jnp.int32)
+    else:
+        lo = table[q_prefix]
+        hi = table[q_prefix + jnp.uint32(1)]
     for _ in range(steps):
         active = lo < hi
         mid = jnp.clip((lo + hi) >> 1, 0, lib_size - 1)
@@ -205,9 +231,10 @@ def staged_codes(planes: tuple, k: int) -> tuple:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "bits", "steps")
+    jax.jit, static_argnames=("k", "bits", "steps", "packed")
 )
-def _read_hits_staged(planes, lib_words, table, k, bits, steps):
+def _read_hits_staged(planes, lib_words, table, k, bits, steps,
+                      packed=False):
     """Membership over pre-staged sorted candidates -> feature rows.
 
     Everything after the sort is elementwise except the prefix-table
@@ -229,7 +256,7 @@ def _read_hits_staged(planes, lib_words, table, k, bits, steps):
         )
     )
     uniq = valid & (~same_as_left)
-    pos = _table_lookup(lib_words, table, canon, k, bits, steps)
+    pos = _table_lookup(lib_words, table, canon, k, bits, steps, packed)
     pos_c = jnp.clip(pos, 0, max(lib_size - 1, 0))
     lib_at = tuple(wd[pos_c] for wd in lib_words)
     found = uniq & (pos < lib_size) & words_eq(lib_at, canon)
@@ -260,6 +287,7 @@ def read_hits_staged(staged, lib: "LibraryIndex", k: int,
                 jnp.zeros((r,), jnp.int32), pre_dropped)
     hits, n_hits = _read_hits_staged(
         planes, lib.words, lib.table, k, lib.bits, lib.steps,
+        getattr(lib, "packed", False),
     )
     return hits, n_hits, pre_dropped
 

@@ -46,6 +46,7 @@ def make_sharded_step(
     strategy: str = "ring",
     bits: int = 8,
     steps: int = 8,
+    table_packed: bool = False,
     hit_buffer: int | None = None,
     sampling: tuple | None = None,
     n_reads: int | None = None,
@@ -66,7 +67,7 @@ def make_sharded_step(
 
     def body(bases_local, lib, p_ext, p_swapped):
         words, table = lib
-        index = LibraryIndex(words, table, k, bits, steps)
+        index = LibraryIndex(words, table, k, bits, steps, table_packed)
         hits, _, _ = read_hits(
             bases_local, index, k, max_hits,
             hit_buffer=hit_buffer, sampling=sampling,
@@ -94,8 +95,8 @@ def make_sharded_step(
 def shard_step_inputs(mesh, bases, library_codes_u64: np.ndarray, k: int,
                       p_ext):
     """Build + place inputs with the shardings make_sharded_step expects.
-    Returns (args tuple, index) — pass index.bits/index.steps to
-    make_sharded_step."""
+    Returns (args tuple, index) — pass index.bits/index.steps/index.packed
+    to make_sharded_step."""
     index = build_library_index(library_codes_u64, k)
     lib_size = index.words[0].shape[0]
     p_swapped = swap_halves(p_ext, lib_size)

@@ -35,6 +35,7 @@ def test_sharded_step_matches_single_device():
     step = make_sharded_step(
         mesh, k=k, max_hits=1024, n_neighbors=6, precision="fp32",
         strategy="ring", bits=index.bits, steps=index.steps,
+        table_packed=index.packed,
         sampling=(seed, frac),
     )
     dist_s, idx_s = step(*args)
@@ -95,6 +96,7 @@ def test_sharded_step_masks_padding_rows():
     step = make_sharded_step(
         mesh, k=k, max_hits=1024, n_neighbors=n_nb, precision="fp32",
         strategy="ring", bits=index.bits, steps=index.steps,
+        table_packed=index.packed,
         sampling=(seed, frac), n_reads=n_real,
     )
     dist_s, idx_s = step(*args)
@@ -107,6 +109,7 @@ def test_sharded_step_masks_padding_rows():
     step_ag = make_sharded_step(
         mesh, k=k, max_hits=1024, n_neighbors=n_nb, precision="fp32",
         strategy="allgather", bits=index.bits, steps=index.steps,
+        table_packed=index.packed,
         sampling=(seed, frac), n_reads=n_real,
     )
     _, idx_ag = step_ag(*args)
