@@ -273,7 +273,9 @@ def compute_embeddings(
         for r, (_, u) in enumerate(unions):
             hit_mat[r, : len(u)] = u
         e_fwd, e_rev = embed_hits_pair(jnp.asarray(hit_mat), p_ext, p_swapped)
-        rids = np.asarray([rid for rid, _ in unions])
+        # int32 indices: int64 scatter operands compile ~100x slower on
+        # this Mosaic toolchain (docs/TPU_PLATFORM_NOTES.md)
+        rids = np.asarray([rid for rid, _ in unions], np.int32)
         buf = _scatter_embeddings(
             buf, jnp.asarray(2 * rids), jnp.asarray(2 * rids + 1),
             e_fwd, e_rev,
