@@ -32,9 +32,15 @@ def run_one(cfg, warm: bool = True) -> dict:
         genome_length=cfg.genome, coverage=cfg.coverage,
         mean_read_length=cfg.read_len, error_rate=cfg.error_rate, seed=1234,
     )
-    with tempfile.TemporaryDirectory() as tmp:
+    # persistent per-config workdir: reruns reuse the fasta and the packed
+    # cache (a chr1-scale sim + write + parse costs over an hour)
+    if True:
+        tmp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "_work", cfg.name.split(":")[0])
+        os.makedirs(tmp, exist_ok=True)
         fasta = os.path.join(tmp, "reads.fasta")
-        write_fasta(fasta, sim.names, sim.sequences)
+        if not os.path.exists(fasta):
+            write_fasta(fasta, sim.names, sim.sequences)
         args = [
             "-i", fasta, "-o", os.path.join(tmp, "out"),
             "-k", str(cfg.k),

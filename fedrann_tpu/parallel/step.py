@@ -34,7 +34,7 @@ from fedrann_tpu.kmers.membership import (
 from fedrann_tpu.knn.ring import _allgather_body, _ring_body
 from fedrann_tpu.knn.topk import normalize_rows
 from fedrann_tpu.parallel.mesh import DATA_AXIS
-from fedrann_tpu.project.embed import embed_hits_pair, swap_halves
+from fedrann_tpu.project.embed import embed_hits_pair_mirror
 
 
 def make_sharded_step(
@@ -65,14 +65,15 @@ def make_sharded_step(
     """
     n_dev = mesh.devices.size
 
-    def body(bases_local, lib, p_ext, p_swapped):
+    def body(bases_local, lib, p_ext):
         words, table = lib
         index = LibraryIndex(words, table, k, bits, steps, table_packed)
         hits, _, _ = read_hits(
             bases_local, index, k, max_hits,
             hit_buffer=hit_buffer, sampling=sampling,
         )
-        e_fwd, e_rev = embed_hits_pair(hits, p_ext, p_swapped)
+        lib_size = words[0].shape[0]
+        e_fwd, e_rev = embed_hits_pair_mirror(hits, p_ext, lib_size)
         b = e_fwd.shape[0]
         e = jnp.stack([e_fwd, e_rev], axis=1).reshape(2 * b, e_fwd.shape[1])
         en = normalize_rows(e)
@@ -85,7 +86,7 @@ def make_sharded_step(
     mapped = shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(DATA_AXIS, None), P(), P(), P()),
+        in_specs=(P(DATA_AXIS, None), P(), P()),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
         check_rep=False,
     )
@@ -98,8 +99,6 @@ def shard_step_inputs(mesh, bases, library_codes_u64: np.ndarray, k: int,
     Returns (args tuple, index) — pass index.bits/index.steps/index.packed
     to make_sharded_step."""
     index = build_library_index(library_codes_u64, k)
-    lib_size = index.words[0].shape[0]
-    p_swapped = swap_halves(p_ext, lib_size)
     rep = NamedSharding(mesh, P())
     args = (
         jax.device_put(bases, NamedSharding(mesh, P(DATA_AXIS, None))),
@@ -108,6 +107,5 @@ def shard_step_inputs(mesh, bases, library_codes_u64: np.ndarray, k: int,
             jax.device_put(index.table, rep),
         ),
         jax.device_put(p_ext, rep),
-        jax.device_put(p_swapped, rep),
     )
     return args, index

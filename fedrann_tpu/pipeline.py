@@ -41,7 +41,7 @@ from fedrann_tpu.logging_utils import (
 )
 from fedrann_tpu.metrics import MemorySampler, StageMetrics
 from fedrann_tpu.oracle import KmerLibrary
-from fedrann_tpu.project.embed import embed_hits_pair, swap_halves
+from fedrann_tpu.project.embed import embed_hits_pair_mirror
 from fedrann_tpu.project.srp import build_precompute
 
 
@@ -225,7 +225,6 @@ def compute_embeddings(
     d = p_ext.shape[1]
     buf = jnp.zeros((2 * n_reads + 1, d), dtype=jnp.float32)
     lib_index = build_library_index(library.codes, config.kmer_size)
-    p_swapped = swap_halves(p_ext, library.size)
     dropped_parts = []
     # chunk-split reads (longer than the largest bucket) have one hit row
     # PER SEGMENT; those rows are diverted from the normal scatter and
@@ -253,7 +252,7 @@ def compute_embeddings(
             keep = keep & ~is_split
         t_fwd = jnp.asarray(np.where(keep, 2 * idx, garbage))
         t_rev = jnp.asarray(np.where(keep, 2 * idx + 1, garbage))
-        e_fwd, e_rev = embed_hits_pair(hits, p_ext, p_swapped)
+        e_fwd, e_rev = embed_hits_pair_mirror(hits, p_ext, library.size)
         buf = _scatter_embeddings(buf, t_fwd, t_rev, e_fwd, e_rev)
         dropped_parts.append(jnp.sum(dropped))
 
@@ -272,7 +271,8 @@ def compute_embeddings(
         hit_mat = np.full((m, width), sentinel, np.int32)
         for r, (_, u) in enumerate(unions):
             hit_mat[r, : len(u)] = u
-        e_fwd, e_rev = embed_hits_pair(jnp.asarray(hit_mat), p_ext, p_swapped)
+        e_fwd, e_rev = embed_hits_pair_mirror(
+            jnp.asarray(hit_mat), p_ext, library.size)
         # int32 indices: int64 scatter operands compile ~100x slower on
         # this Mosaic toolchain (docs/TPU_PLATFORM_NOTES.md)
         rids = np.asarray([rid for rid, _ in unions], np.int32)

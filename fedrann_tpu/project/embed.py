@@ -31,6 +31,66 @@ def swap_halves(p_ext: jax.Array, lib_size: int) -> jax.Array:
     )
 
 
+@functools.partial(jax.jit, static_argnames=("lib_size", "hit_chunk"))
+def embed_hits_pair_mirror(
+    hits: jax.Array, p_ext: jax.Array, lib_size: int,
+    hit_chunk: int = 128,
+) -> tuple[jax.Array, jax.Array]:
+    """(fwd, rev) embeddings from ONE projection table.
+
+    The reverse row is the index mirror i <-> i+L (membership.mirror_hits,
+    reference feature_extraction.py:137-140), so instead of materializing
+    a swapped COPY of P (9.2 GB at the chr1 rung's 2.26M-k-mer library —
+    doubling P OOMs the chip), the mirror is applied to the INDICES:
+    small libraries still build the one-gather-per-slot concatenated
+    [P[f] | P[mirror(f)]] table; large ones gather P twice with mirrored
+    index blocks (same gather count as the old two-table path, zero extra
+    HBM)."""
+    r, h = hits.shape
+    d = p_ext.shape[1]
+    n_rows = p_ext.shape[0]  # 2L + 1
+    sentinel = n_rows - 1
+    pad = (-h) % hit_chunk
+    if pad:
+        hits = jnp.concatenate(
+            [hits, jnp.full((r, pad), sentinel, dtype=hits.dtype)], axis=1
+        )
+    n_chunks = hits.shape[1] // hit_chunk
+    blocks = hits.reshape(r, n_chunks, hit_chunk).transpose(1, 0, 2)
+
+    def mirror(b):
+        return jnp.where(
+            b >= sentinel, sentinel,
+            jnp.where(b < lib_size, b + lib_size, b - lib_size),
+        )
+
+    if n_rows * 2 * d * 4 <= (1 << 30):
+        perm = jnp.concatenate([
+            jnp.arange(lib_size, 2 * lib_size, dtype=jnp.int32),
+            jnp.arange(0, lib_size, dtype=jnp.int32),
+            jnp.full((1,), 2 * lib_size, jnp.int32),
+        ])
+        p_cat = jnp.concatenate([p_ext, p_ext[perm]], axis=1)
+
+        def body(acc, block):
+            return acc + jnp.take(p_cat, block, axis=0).sum(axis=1), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((r, 2 * d), jnp.float32), blocks
+        )
+        return acc[:, :d], acc[:, d:]
+
+    def body2(carry, block):
+        acc_f, acc_r = carry
+        acc_f = acc_f + jnp.take(p_ext, block, axis=0).sum(axis=1)
+        acc_r = acc_r + jnp.take(p_ext, mirror(block), axis=0).sum(axis=1)
+        return (acc_f, acc_r), None
+
+    init = (jnp.zeros((r, d), jnp.float32), jnp.zeros((r, d), jnp.float32))
+    (acc_f, acc_r), _ = jax.lax.scan(body2, init, blocks)
+    return acc_f, acc_r
+
+
 @functools.partial(jax.jit, static_argnames=("hit_chunk",))
 def embed_hits_pair(
     hits: jax.Array, p_ext: jax.Array, p_swapped: jax.Array,
