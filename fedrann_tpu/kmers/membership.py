@@ -98,10 +98,12 @@ def build_library_index(lib_codes_u64: np.ndarray, k: int,
     words = library_device_words(lib_codes_u64, k)
     size = len(lib_codes_u64)
     if bits is None:
-        # ~1/8 entry per bucket on average (gathers dominate lookup cost;
-        # a denser table trades 16 MB of HBM for fewer refinement steps),
-        # capped at a 4M-entry table
-        bits = min(22, max(8, int(size).bit_length() + 3))
+        # ~2 entries per bucket on average, capped at a 4M-entry table.
+        # (Denser tables measured WORSE: at a 310k library, bits+3 made
+        # the host build 60x slower and the device lookup 1.35x slower —
+        # the bigger table gather costs more than the 1-2 refinement
+        # steps it saves.)
+        bits = min(22, max(8, int(size).bit_length()))
     bits = min(bits, 2 * k)
     # host-side prefix (D2H of a device prefix costs ~50 ms/M entries on
     # this tunnel); identical to _code_prefix on the device words
