@@ -145,6 +145,24 @@ def unpack_bases(packed: jax.Array, valid_bits: jax.Array, length: int
     return jnp.where(ok, codes, jnp.uint8(4))
 
 
+@functools.partial(jax.jit, static_argnames=("length",))
+def unpack_bases_len(packed: jax.Array, lengths: jax.Array, length: int
+                     ) -> jax.Array:
+    """Device unpack of the bit-packed reads when validity is a pure
+    prefix (no mid-read N bases): the (R, ceil(L/8)) valid-bits plane —
+    a third of the upload — is replaced by per-row lengths (R,) int32.
+    Rows with in-read invalid bases take the unpack_bases path instead
+    (pipeline._device_chunks decides per bucket)."""
+    x = jnp.repeat(packed, 4, axis=1)[:, :length]
+    shifts = jnp.tile(
+        jnp.arange(0, 8, 2, dtype=jnp.uint8), packed.shape[1]
+    )[:length]
+    codes = (x >> shifts[None, :]) & jnp.uint8(3)
+    col = jax.lax.broadcasted_iota(jnp.int32, (packed.shape[0], length), 1)
+    ok = col < jnp.minimum(lengths, jnp.int32(length))[:, None]
+    return jnp.where(ok, codes, jnp.uint8(4))
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def window_codes(bases: jax.Array, k: int):
     """All k-windows of a (R, L) uint8 base-code batch.

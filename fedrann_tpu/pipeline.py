@@ -91,9 +91,13 @@ def _device_chunks(packed: PackedReads, window_batch: int,
     caps the rows per chunk when given.
     Returns [(device bases (rows, L) uint8, host read_index (rows,))]."""
     from fedrann_tpu.io.packing import INVALID
-    from fedrann_tpu.kmers.codec import unpack_bases
+    from fedrann_tpu.kmers.codec import unpack_bases, unpack_bases_len
 
     import time as _time
+
+    _POPCNT = np.unpackbits(
+        np.arange(256, dtype=np.uint8)[:, None], axis=1
+    ).sum(axis=1).astype(np.int32)
 
     _t = _time.perf_counter()
     out = []
@@ -113,13 +117,28 @@ def _device_chunks(packed: PackedReads, window_batch: int,
         # copies: fresh multi-MB numpy allocations fault pages at ~30 MB/s
         # on this platform); chunks are device-side slices, and only the
         # final partial chunk pays a device pad
+        prefix_valid = False
         if bucket.bases is not None:
             whole = (jnp.asarray(bucket.bases),)
             fills = (INVALID,)
         else:
-            whole = (jnp.asarray(bucket.packed_bases),
-                     jnp.asarray(bucket.valid_bits))
-            fills = (0, 0)
+            # when every row's validity is a pure prefix (no mid-read N
+            # bases — the common case), per-row lengths replace the
+            # valid-bits plane: a third less host->device traffic
+            set_bits = _POPCNT[bucket.valid_bits].sum(axis=1, dtype=np.int64)
+            prefix_valid = bool(
+                (set_bits == bucket.lengths.astype(np.int64)).all()
+            )
+            if prefix_valid:
+                whole = (jnp.asarray(bucket.packed_bases),)
+                fills = (0,)
+                dev_lengths = jnp.asarray(
+                    bucket.lengths.astype(np.int32)
+                )
+            else:
+                whole = (jnp.asarray(bucket.packed_bases),
+                         jnp.asarray(bucket.valid_bits))
+                fills = (0, 0)
         for start in range(0, n_rows_total, rows):
             idx = _pad_chunk(
                 bucket.read_index[start : start + rows].reshape(-1, 1), rows, -1
@@ -136,6 +155,13 @@ def _device_chunks(packed: PackedReads, window_batch: int,
                 parts.append(sl)
             if bucket.bases is not None:
                 out.append((parts[0], idx))
+            elif prefix_valid:
+                lsl = jax.lax.slice_in_dim(dev_lengths, start, end, axis=0)
+                if end - start < rows:
+                    lsl = jnp.concatenate(
+                        [lsl, jnp.zeros((rows - (end - start),), jnp.int32)]
+                    )
+                out.append((unpack_bases_len(parts[0], lsl, length), idx))
             else:
                 # bit-packed upload (~3.6x less host->device traffic),
                 # unpacked on device; zero-padding rows decode as invalid
@@ -237,10 +263,15 @@ def compute_embeddings(
     split_rows: list[tuple[np.ndarray, np.ndarray]] = []
     _t = _tlog("embed prep (lib index upload)", _t)
 
-    for staged, idx in staged_chunks:
+    for ci in range(len(staged_chunks)):
+        staged, idx = staged_chunks[ci]
         hits, _, dropped = read_hits_staged(
             staged, lib_index, config.kmer_size, config.max_hits_per_read
         )
+        # embed is the LAST consumer of the staged buffers: free each
+        # chunk as it is consumed (1.5 GB across the chr1 rung's 176
+        # chunks — HBM headroom there is tight)
+        staged_chunks[ci] = None
         garbage = 2 * n_reads
         keep = idx >= 0
         if split_ids:
@@ -422,6 +453,18 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                     config.projection_seed,
                     config.projection_density,
                 )
+            if p_ext.nbytes > (2 << 30):
+                # chr1-scale libraries: the f32 projection (9.2 GB at
+                # 2.26M k-mers) plus embed workspace exhausts the 16 GB
+                # chip. bf16 storage (f32 accumulation in the embed
+                # gathers) costs ~0.4% relative table rounding — well
+                # inside the recall/distance tolerances — and halves the
+                # resident table.
+                logger.info(
+                    "projection table is %.1f GB f32; storing bf16",
+                    p_ext.nbytes / 2**30,
+                )
+                p_ext = p_ext.astype(jnp.bfloat16)
 
         with metrics.stage("embed"):
             emb = _load_embeddings_checkpoint(config, ckpt_dir, packed, library)

@@ -73,7 +73,8 @@ def embed_hits_pair_mirror(
         p_cat = jnp.concatenate([p_ext, p_ext[perm]], axis=1)
 
         def body(acc, block):
-            return acc + jnp.take(p_cat, block, axis=0).sum(axis=1), None
+            g = jnp.take(p_cat, block, axis=0).astype(jnp.float32)
+            return acc + g.sum(axis=1), None
 
         acc, _ = jax.lax.scan(
             body, jnp.zeros((r, 2 * d), jnp.float32), blocks
@@ -82,9 +83,9 @@ def embed_hits_pair_mirror(
 
     def body2(carry, block):
         acc_f, acc_r = carry
-        acc_f = acc_f + jnp.take(p_ext, block, axis=0).sum(axis=1)
-        acc_r = acc_r + jnp.take(p_ext, mirror(block), axis=0).sum(axis=1)
-        return (acc_f, acc_r), None
+        gf = jnp.take(p_ext, block, axis=0).astype(jnp.float32)
+        gr = jnp.take(p_ext, mirror(block), axis=0).astype(jnp.float32)
+        return (acc_f + gf.sum(axis=1), acc_r + gr.sum(axis=1)), None
 
     init = (jnp.zeros((r, d), jnp.float32), jnp.zeros((r, d), jnp.float32))
     (acc_f, acc_r), _ = jax.lax.scan(body2, init, blocks)
@@ -122,7 +123,8 @@ def embed_hits_pair(
         p_cat = jnp.concatenate([p_ext, p_swapped], axis=1)
 
         def body(acc, block):
-            return acc + jnp.take(p_cat, block, axis=0).sum(axis=1), None
+            g = jnp.take(p_cat, block, axis=0).astype(jnp.float32)
+            return acc + g.sum(axis=1), None
 
         acc, _ = jax.lax.scan(
             body, jnp.zeros((r, 2 * d), jnp.float32), blocks

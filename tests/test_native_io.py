@@ -207,3 +207,37 @@ def test_pipeline_uses_pack_cache(tmp_path):
     # --no-pack-cache still works and matches
     r3 = run_pipeline(config_from_args(args + ["--no-pack-cache"]))
     assert np.array_equal(r1.neighbor_indices, r3.neighbor_indices)
+
+
+def test_lengths_unpack_matches_validbits_unpack(tmp_path):
+    """unpack_bases_len (prefix-validity fast path) == unpack_bases for
+    N-free reads; reads WITH mid-read Ns are detected and routed to the
+    valid-bits path by the pipeline (popcount != length)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from fedrann_tpu.io.fastx import FastxRecord
+    from fedrann_tpu.io.native import pack_reads_native
+    from fedrann_tpu.kmers.codec import unpack_bases, unpack_bases_len
+    from fedrann_tpu.sim import simulate_reads
+
+    sim = simulate_reads(genome_length=8000, coverage=4,
+                         mean_read_length=900, seed=3)
+    fasta = str(tmp_path / "r.fasta")
+    with open(fasta, "w") as f:
+        for n, s in zip(sim.names, sim.sequences):
+            f.write(f">{n}\n{s}\n")
+    packed = pack_reads_native(fasta, (1024,), bit_packed=True)
+    b = packed.buckets[0]
+    a = unpack_bases(jnp.asarray(b.packed_bases), jnp.asarray(b.valid_bits),
+                     b.length)
+    c = unpack_bases_len(jnp.asarray(b.packed_bases),
+                         jnp.asarray(b.lengths.astype(np.int32)), b.length)
+    assert np.array_equal(np.asarray(a), np.asarray(c))
+    # an N read breaks prefix validity: popcount < length
+    with open(fasta, "a") as f:
+        f.write(">with_n\nACGTNNACGTACGT\n")
+    packed2 = pack_reads_native(fasta, (1024,), bit_packed=True)
+    b2 = packed2.buckets[0]
+    pop = np.unpackbits(b2.valid_bits, axis=1).sum(axis=1)
+    assert (pop[: len(b2.lengths)] == b2.lengths).sum() == len(b2.lengths) - 1
