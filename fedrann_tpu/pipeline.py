@@ -447,24 +447,29 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                 logger.info("imported reference projection %s %s",
                             config.import_projection, p_ext.shape)
             else:
+                # chr1-scale libraries: a full f32 projection (9.2 GB at
+                # 2.26M k-mers) plus embed workspace exhausts the 16 GB
+                # chip. bf16 storage (f32 accumulation in the embed
+                # gathers) costs ~0.4% relative table rounding — well
+                # inside the recall/distance tolerances — and halves the
+                # resident table; the cast happens chunk-by-chunk inside
+                # build_precompute so the f32 table never exists whole.
+                f32_bytes = (library.n_features + 1) * 4 * (
+                    config.embedding_dimension
+                )
+                p_dtype = jnp.bfloat16 if f32_bytes > (2 << 30) else jnp.float32
+                if p_dtype is jnp.bfloat16:
+                    logger.info(
+                        "projection table would be %.1f GB f32; building bf16",
+                        f32_bytes / 2**30,
+                    )
                 p_ext = build_precompute(
                     jnp.asarray(library.counts),
                     config.embedding_dimension,
                     config.projection_seed,
                     config.projection_density,
+                    dtype=p_dtype,
                 )
-            if p_ext.nbytes > (2 << 30):
-                # chr1-scale libraries: the f32 projection (9.2 GB at
-                # 2.26M k-mers) plus embed workspace exhausts the 16 GB
-                # chip. bf16 storage (f32 accumulation in the embed
-                # gathers) costs ~0.4% relative table rounding — well
-                # inside the recall/distance tolerances — and halves the
-                # resident table.
-                logger.info(
-                    "projection table is %.1f GB f32; storing bf16",
-                    p_ext.nbytes / 2**30,
-                )
-                p_ext = p_ext.astype(jnp.bfloat16)
 
         with metrics.stage("embed"):
             emb = _load_embeddings_checkpoint(config, ckpt_dir, packed, library)

@@ -55,10 +55,14 @@ def build_precompute(
     seed: int,
     density: float | None = None,
     chunk: int = 1 << 16,
+    dtype=jnp.float32,
 ) -> jax.Array:
-    """(2L + 1, n_components) float32: P = SRP .* ICF with one trailing
-    all-zero row for the padding sentinel (feature index 2L), so padded hit
-    matrices embed with no masking."""
+    """(2L + 1, n_components) P = SRP .* ICF with one trailing all-zero
+    row for the padding sentinel (feature index 2L), so padded hit
+    matrices embed with no masking. dtype=bfloat16 casts each chunk as it
+    is built, so the f32 table never materializes whole (a post-hoc
+    astype at the chr1 rung held 9.2 GB f32 + 4.6 GB bf16 at once and
+    OOM'd the chip)."""
     icf = icf_weights_device(counts)
     n_features = icf.shape[0]
     if density is None:
@@ -69,9 +73,9 @@ def build_precompute(
         size = min(chunk, n_features - start)
         parts.append(
             _srp_chunk(seed_mix, icf[start : start + size], n_components, density,
-                       start, size)
+                       start, size).astype(dtype)
         )
-    zero_row = jnp.zeros((1, n_components), dtype=jnp.float32)
+    zero_row = jnp.zeros((1, n_components), dtype=dtype)
     if not parts:
         return zero_row
     return jnp.concatenate(parts + [zero_row], axis=0)
