@@ -24,10 +24,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
 
 from fedrann_tpu.knn.topk import normalize_rows
-from fedrann_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from fedrann_tpu.parallel.mesh import DATA_AXIS, make_mesh, shard_map_norep
 
 
 def _merge_topk(run_dist, run_idx, new_dist, new_idx, k):
@@ -112,6 +112,82 @@ def _allgather_body(en_local, n_dev, k, n_real, precision,
     return run_dist, run_idx
 
 
+def knn_exact_sharded_multihost(
+    emb_local: np.ndarray,
+    n_reads_global: int,
+    per_process_reads: int,
+    n_neighbors: int,
+    strategy: str = "ring",
+    precision: str = "bf16",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact cosine top-k over a GLOBAL (multi-process) device mesh.
+
+    The DCN-scale variant of knn_exact_sharded (SURVEY.md §2.8 / §5
+    distributed backend): each process contributes only its own embedding
+    rows; `jax.make_array_from_process_local_data` assembles the global
+    row-sharded matrix WITHOUT any host-side gather, and the candidate
+    blocks ride the ring (jax.lax.ppermute) or one all_gather across the
+    ICI/DCN fabric. Peak per-device memory for the ring is O(N/n_dev x d)
+    — the whole-matrix copy the host-gather path pays never exists.
+
+    emb_local: (2*local_reads, d) — this process's fwd/rev-interleaved
+      embedding rows (reads [pid*per, ...) — contiguous global ranges).
+    per_process_reads: the uniform per-process read quota `per` from
+      host_read_range; every process's block is zero-padded to 2*per rows
+      (2*per must divide evenly by the local device count — pass
+      row_multiple=jax.local_device_count() to host_read_range).
+    Returns (indices, distances) for THIS process's real rows, in global
+    row numbering (row 2g / 2g+1 for global read g).
+    """
+    import jax as _jax
+
+    n_local_dev = _jax.local_device_count()
+    mesh = make_mesh()  # all global devices, process-major order
+    n_dev = mesh.devices.size
+    block_rows = 2 * per_process_reads
+    if block_rows % n_local_dev:
+        raise ValueError(
+            f"per-process block of {block_rows} rows does not divide over "
+            f"{n_local_dev} local devices; compute the read range with "
+            f"host_read_range(..., row_multiple=local_device_count)"
+        )
+    d = emb_local.shape[1]
+    local_block = np.zeros((block_rows, d), np.float32)
+    local_block[: emb_local.shape[0]] = np.asarray(emb_local)
+    sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+    garr = jax.make_array_from_process_local_data(
+        sharding, local_block, (block_rows * _jax.process_count(), d)
+    )
+
+    n_real = 2 * n_reads_global
+    k = min(n_neighbors, n_real)
+    body = _ring_body if strategy == "ring" else _allgather_body
+    kernel = shard_map_norep(
+        functools.partial(body, n_dev=n_dev, k=k, n_real=n_real,
+                          precision=precision),
+        mesh=mesh,
+        in_specs=P(DATA_AXIS, None),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+    )
+
+    @jax.jit
+    def run(e):
+        en = normalize_rows(e)
+        dist, idx = kernel(en)
+        return dist, idx
+
+    dist, idx = run(garr)
+
+    def _local_rows(a):
+        # this process's addressable shards, in global row order
+        shards = sorted(a.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards])
+
+    n_mine = emb_local.shape[0]
+    return _local_rows(idx)[:n_mine], _local_rows(dist)[:n_mine]
+
+
 def knn_exact_sharded(
     embeddings: np.ndarray,
     n_neighbors: int,
@@ -141,12 +217,11 @@ def knn_exact_sharded(
         )
 
     body = _ring_body if strategy == "ring" else _allgather_body
-    kernel = shard_map(
+    kernel = shard_map_norep(
         functools.partial(body, n_dev=n_dev, k=k, n_real=n, precision=precision),
         mesh=mesh,
         in_specs=P(DATA_AXIS, None),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
-        check_rep=False,
     )
 
     @jax.jit

@@ -19,6 +19,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def shard_map_norep(f, *, mesh, in_specs, out_specs):
+    """shard_map with replication checking off, across the jax 0.7/0.8 API
+    rename (check_rep -> check_vma) and the move out of experimental."""
+    try:
+        from jax import shard_map as _sm
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _sm
+    try:
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=False)
+    except TypeError:  # pragma: no cover
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+
+
 def make_mesh(shape: Optional[Sequence[int]] = None,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """1-D "data" mesh over all (or the given) devices. A 2-D

@@ -61,10 +61,21 @@ def initialize_distributed(
     return jax.process_index(), jax.process_count()
 
 
-def host_read_range(n_reads: int, process_id: int, num_processes: int
-                    ) -> tuple[int, int]:
-    """Contiguous read range owned by a process (balanced to +-1)."""
+def host_read_range(n_reads: int, process_id: int, num_processes: int,
+                    row_multiple: int = 1) -> tuple[int, int]:
+    """Contiguous read range owned by a process (balanced to +-1).
+
+    row_multiple: round the per-process quota up so 2*per embedding rows
+    divide evenly over that many local devices (the device-resident
+    multi-host k-NN shards each process's 2*per-row block across its local
+    devices — knn_exact_sharded_multihost). Interior processes stay full,
+    so global embedding row 2g still belongs to read g and every padding
+    row sits at the global tail (>= 2*n_reads)."""
     per = -(-n_reads // num_processes)
+    if row_multiple > 1:
+        step = row_multiple if row_multiple % 2 == 0 else 2 * row_multiple
+        half = step // 2  # smallest per increment keeping 2*per % row_multiple == 0
+        per = -(-per // half) * half
     start = min(process_id * per, n_reads)
     return start, min(start + per, n_reads)
 
@@ -197,7 +208,10 @@ def run_pipeline_multihost(config):
             read_fastx(config.input_path), config.length_buckets
         )
     n_reads = packed_all.n_reads
-    start, end = host_read_range(n_reads, pid, nproc)
+    # quota rounded so each process's 2*per-row embedding block divides
+    # over its local devices (the device-resident k-NN shards it there)
+    row_multiple = jax.local_device_count()
+    start, end = host_read_range(n_reads, pid, nproc, row_multiple)
 
     # rebuild a local PackedReads over [start, end) with LOCAL indices;
     # names stay global for the output table
@@ -258,32 +272,46 @@ def run_pipeline_multihost(config):
     )
     emb_local, _ = compute_embeddings(local, library, config, p_ext, staged)
 
-    # exchange embeddings (fixed-size blocks, zero-padded to the max range)
-    per = -(-n_reads // nproc)
-    block = np.zeros((2 * per, emb_local.shape[1]), np.float32)
-    block[: emb_local.shape[0]] = np.asarray(emb_local)
-    gathered = multihost_utils.process_allgather(block)
-    emb_global = gathered.reshape(-1, emb_local.shape[1])
-    # strip per-range padding rows back out
-    keep_rows = np.concatenate([
-        np.arange(2 * per * p, 2 * per * p + 2 * (e2 - s2))
-        for p in range(nproc)
-        for s2, e2 in [host_read_range(n_reads, p, nproc)]
-    ])
-    emb_global = emb_global[keep_rows]
+    # the uniform per-process quota `per` implied by host_read_range
+    per = host_read_range(n_reads, 0, nproc, row_multiple)[1]
 
-    # tiled local-queries x global-candidates top-k (streams candidate
-    # tiles; never materializes the (2*per, N) score matrix)
-    from fedrann_tpu.knn.topk import knn_exact_block
-
-    en = normalize_rows(jnp.asarray(emb_global))
-    idx, dist = knn_exact_block(
-        en[2 * start : 2 * end], en, config.n_neighbors,
-        query_tile=config.knn_query_tile,
-        candidate_tile=config.knn_candidate_tile,
-        precision=config.knn_precision,
-        method=config.knn_topk_method,
+    dcn_strategy = os.environ.get(
+        "FEDRANN_TPU_MULTIHOST_KNN", config.knn_shard_strategy
     )
+    if dcn_strategy == "host":
+        # host-gather fallback: all-gather embeddings to every host, then a
+        # tiled local-queries x global-candidates top-k. O(N x d) host
+        # memory and one full-matrix DCN exchange — keep only for
+        # debugging / heterogeneous-device launches.
+        block = np.zeros((2 * per, emb_local.shape[1]), np.float32)
+        block[: emb_local.shape[0]] = np.asarray(emb_local)
+        gathered = multihost_utils.process_allgather(block)
+        emb_global = gathered.reshape(-1, emb_local.shape[1])
+        # per-range padding rows form a contiguous global tail
+        emb_global = emb_global[: 2 * n_reads]
+
+        from fedrann_tpu.knn.topk import knn_exact_block
+
+        en = normalize_rows(jnp.asarray(emb_global))
+        idx, dist = knn_exact_block(
+            en[2 * start : 2 * end], en, config.n_neighbors,
+            query_tile=config.knn_query_tile,
+            candidate_tile=config.knn_candidate_tile,
+            precision=config.knn_precision,
+            method=config.knn_topk_method,
+        )
+        idx, dist = np.asarray(idx), np.asarray(dist)
+    else:
+        # device-resident global-mesh search (the default): each process
+        # feeds its local rows into ONE globally-sharded array; candidate
+        # blocks ride ppermute (ring) or one all_gather across ICI/DCN —
+        # embeddings never round-trip through the hosts
+        from fedrann_tpu.knn.ring import knn_exact_sharded_multihost
+
+        idx, dist = knn_exact_sharded_multihost(
+            np.asarray(emb_local), n_reads, per, config.n_neighbors,
+            strategy=dcn_strategy, precision=config.knn_precision,
+        )
     k_nn = idx.shape[1]
 
     out_path = None

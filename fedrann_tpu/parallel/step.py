@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
 
 from fedrann_tpu.kmers.membership import (
     LibraryIndex,
@@ -33,7 +33,7 @@ from fedrann_tpu.kmers.membership import (
 )
 from fedrann_tpu.knn.ring import _allgather_body, _ring_body
 from fedrann_tpu.knn.topk import normalize_rows
-from fedrann_tpu.parallel.mesh import DATA_AXIS
+from fedrann_tpu.parallel.mesh import DATA_AXIS, shard_map_norep
 from fedrann_tpu.project.embed import embed_hits_pair_mirror
 
 
@@ -83,12 +83,11 @@ def make_sharded_step(
                          precision=precision)
         return dist, idx
 
-    mapped = shard_map(
+    mapped = shard_map_norep(
         body,
         mesh=mesh,
         in_specs=(P(DATA_AXIS, None), P(), P()),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
-        check_rep=False,
     )
     return jax.jit(mapped)
 

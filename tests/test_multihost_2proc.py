@@ -57,7 +57,8 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_matches_single(tmp_path):
+@pytest.mark.parametrize("dcn_knn", ["ring", "host"])
+def test_two_process_matches_single(tmp_path, dcn_knn):
     from fedrann_tpu.sim import simulate_reads, write_fasta
 
     sim = simulate_reads(genome_length=20000, coverage=6,
@@ -83,6 +84,9 @@ def test_two_process_matches_single(tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)  # 1 CPU device per process
+    # "ring" = device-resident global-mesh search (the default wired path);
+    # "host" = the all-gather-to-host fallback
+    env["FEDRANN_TPU_MULTIHOST_KNN"] = dcn_knn
     procs = []
     for rank in range(2):
         code = DRIVER.format(repo=REPO, fasta=fasta, out=out_multi,
