@@ -70,7 +70,7 @@ def build_parser() -> argparse.ArgumentParser:
                    default="exact",
                    help="Block-level top-k selection (approx = TPU "
                         "approx_max_k at 0.99 per-block recall).")
-    p.add_argument("--knn-shard-strategy", choices=("allgather", "ring"),
+    p.add_argument("--knn-shard-strategy", choices=("allgather", "ring", "ring2d"),
                    default="ring", help="Candidate movement across chips.")
     p.add_argument("--length-buckets", type=str, default="4096,16384,65536,262144",
                    help="Comma-separated padded read-length buckets.")

@@ -67,7 +67,10 @@ class PipelineConfig:
     # Matmul precision for the distance matrix: "bf16" (MXU-fast, fp32 accum)
     # or "fp32".
     knn_precision: str = "bf16"
-    # "allgather" (small N) or "ring" (ppermute streaming) candidate movement.
+    # Candidate movement across chips: "allgather" (small N), "ring"
+    # (ppermute streaming over the 1-D data axis), or "ring2d" (ring-over-
+    # ring on a ("hosts", "data") mesh — inner ICI rotation, bulk DCN hops;
+    # the multi-slice schedule, knn/ring.py _ring2d_body).
     knn_shard_strategy: str = "ring"
     # Block-level top-k selection: "exact" (lax.top_k) or "approx"
     # (lax.approx_max_k, the TPU-KNN peak-FLOP/s selection; final merge
@@ -116,8 +119,9 @@ class PipelineConfig:
             raise ValueError("embedding_dimension must be >= 1")
         if self.knn_precision not in ("bf16", "fp32"):
             raise ValueError("knn_precision must be 'bf16' or 'fp32'")
-        if self.knn_shard_strategy not in ("allgather", "ring"):
-            raise ValueError("knn_shard_strategy must be 'allgather' or 'ring'")
+        if self.knn_shard_strategy not in ("allgather", "ring", "ring2d"):
+            raise ValueError(
+                "knn_shard_strategy must be 'allgather', 'ring', or 'ring2d'")
         if self.knn_sharded not in ("auto", "never", "always"):
             raise ValueError("knn_sharded must be 'auto', 'never', or 'always'")
         if self.knn_topk_method not in ("exact", "approx"):

@@ -27,7 +27,13 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 from fedrann_tpu.knn.topk import normalize_rows
-from fedrann_tpu.parallel.mesh import DATA_AXIS, make_mesh, shard_map_norep
+from fedrann_tpu.parallel.mesh import (
+    DATA_AXIS,
+    HOST_AXIS,
+    make_mesh,
+    make_mesh_2d,
+    shard_map_norep,
+)
 
 
 def _merge_topk(run_dist, run_idx, new_dist, new_idx, k):
@@ -112,6 +118,90 @@ def _allgather_body(en_local, n_dev, k, n_real, precision,
     return run_dist, run_idx
 
 
+def _ring2d_body(en_local, n_hosts, n_local, k, n_real, precision):
+    """Ring-over-ring on a 2-D ("hosts", "data") mesh — the DCN-aware
+    schedule (SURVEY.md §5 distributed backend): the inner ring rotates
+    candidate blocks around one host's ICI (cheap, latency-hidden by the
+    next matmul); only after a full inner rotation does ONE bulk ppermute
+    over the hosts axis move each device's block to the next host. Every
+    block crosses each DCN boundary exactly once over the whole schedule
+    (the minimum for self-k-NN, where every host must see every row), and
+    DCN hops are n_local x fewer and n_local x larger than a flat 1-D ring
+    would make them — the right shape for high-latency inter-slice links.
+    Rows are sharded host-major: device (h, j) owns global rows
+    [(h*n_local + j)*b, ...+b)."""
+    b = en_local.shape[0]
+    my_h = jax.lax.axis_index(HOST_AXIS)
+    my_j = jax.lax.axis_index(DATA_AXIS)
+    col_base = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+
+    init_dist = jnp.full((b, k), jnp.inf, dtype=jnp.float32)
+    init_idx = jnp.full((b, k), -1, dtype=jnp.int32)
+
+    def inner(s, carry):
+        t, run_dist, run_idx, block = carry
+        owner_h = (my_h - t) % n_hosts
+        owner_j = (my_j - s) % n_local
+        scores = _block_scores(en_local, block, precision)
+        base = (owner_h * n_local + owner_j).astype(jnp.int32) * b
+        new_idx = jnp.broadcast_to(col_base + base, (b, b))
+        new_dist = jnp.where(new_idx >= n_real, jnp.inf, 1.0 - scores)
+        run_dist, run_idx = _merge_topk(run_dist, run_idx, new_dist, new_idx, k)
+        block = jax.lax.ppermute(
+            block, DATA_AXIS,
+            perm=[(i, (i + 1) % n_local) for i in range(n_local)],
+        )
+        return t, run_dist, run_idx, block
+
+    def outer(t, carry):
+        run_dist, run_idx, block = carry
+        _, run_dist, run_idx, block = jax.lax.fori_loop(
+            0, n_local, inner, (t, run_dist, run_idx, block)
+        )
+        # a full inner rotation returned every block to its in-host start;
+        # one bulk DCN hop hands it to the same lane of the next host
+        block = jax.lax.ppermute(
+            block, HOST_AXIS,
+            perm=[(i, (i + 1) % n_hosts) for i in range(n_hosts)],
+        )
+        return run_dist, run_idx, block
+
+    run_dist, run_idx, _ = jax.lax.fori_loop(
+        0, n_hosts, outer, (init_dist, init_idx, en_local)
+    )
+    return run_dist, run_idx
+
+
+def _make_kernel(mesh, strategy, k, n_real, precision):
+    """Build the shard_map'ed top-k kernel for a strategy; returns
+    (kernel, row_spec). "ring"/"allgather" run on the 1-D data axis;
+    "ring2d" needs a 2-D ("hosts", "data") mesh (make_mesh_2d) and rides
+    the ring-over-ring schedule."""
+    if strategy == "ring2d":
+        if HOST_AXIS not in mesh.axis_names:
+            raise ValueError(
+                "strategy 'ring2d' needs a 2-D ('hosts', 'data') mesh — "
+                "build it with make_mesh_2d(n_hosts)"
+            )
+        n_hosts, n_local = mesh.devices.shape
+        body = functools.partial(
+            _ring2d_body, n_hosts=n_hosts, n_local=n_local, k=k,
+            n_real=n_real, precision=precision,
+        )
+        row_spec = P((HOST_AXIS, DATA_AXIS), None)
+    else:
+        body_fn = _ring_body if strategy == "ring" else _allgather_body
+        body = functools.partial(
+            body_fn, n_dev=mesh.devices.size, k=k, n_real=n_real,
+            precision=precision,
+        )
+        row_spec = P(DATA_AXIS, None)
+    kernel = shard_map_norep(
+        body, mesh=mesh, in_specs=row_spec, out_specs=(row_spec, row_spec),
+    )
+    return kernel, row_spec
+
+
 def knn_exact_sharded_multihost(
     emb_local: np.ndarray,
     n_reads_global: int,
@@ -142,8 +232,12 @@ def knn_exact_sharded_multihost(
     import jax as _jax
 
     n_local_dev = _jax.local_device_count()
-    mesh = make_mesh()  # all global devices, process-major order
-    n_dev = mesh.devices.size
+    if strategy == "ring2d":
+        # hosts axis == process boundary: inner ring stays on each
+        # process's ICI, the outer hop is the only DCN transfer
+        mesh = make_mesh_2d(_jax.process_count())
+    else:
+        mesh = make_mesh()  # all global devices, process-major order
     block_rows = 2 * per_process_reads
     if block_rows % n_local_dev:
         raise ValueError(
@@ -154,20 +248,13 @@ def knn_exact_sharded_multihost(
     d = emb_local.shape[1]
     local_block = np.zeros((block_rows, d), np.float32)
     local_block[: emb_local.shape[0]] = np.asarray(emb_local)
-    sharding = NamedSharding(mesh, P(DATA_AXIS, None))
-    garr = jax.make_array_from_process_local_data(
-        sharding, local_block, (block_rows * _jax.process_count(), d)
-    )
 
     n_real = 2 * n_reads_global
     k = min(n_neighbors, n_real)
-    body = _ring_body if strategy == "ring" else _allgather_body
-    kernel = shard_map_norep(
-        functools.partial(body, n_dev=n_dev, k=k, n_real=n_real,
-                          precision=precision),
-        mesh=mesh,
-        in_specs=P(DATA_AXIS, None),
-        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+    kernel, row_spec = _make_kernel(mesh, strategy, k, n_real, precision)
+    garr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, row_spec), local_block,
+        (block_rows * _jax.process_count(), d)
     )
 
     @jax.jit
@@ -216,13 +303,7 @@ def knn_exact_sharded(
             [padded, jnp.zeros((pad, padded.shape[1]), padded.dtype)]
         )
 
-    body = _ring_body if strategy == "ring" else _allgather_body
-    kernel = shard_map_norep(
-        functools.partial(body, n_dev=n_dev, k=k, n_real=n, precision=precision),
-        mesh=mesh,
-        in_specs=P(DATA_AXIS, None),
-        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
-    )
+    kernel, row_spec = _make_kernel(mesh, strategy, k, n, precision)
 
     @jax.jit
     def run(e):
@@ -230,6 +311,6 @@ def knn_exact_sharded(
         dist, idx = kernel(en)
         return dist, idx
 
-    sharded = jax.device_put(padded, NamedSharding(mesh, P(DATA_AXIS, None)))
+    sharded = jax.device_put(padded, NamedSharding(mesh, row_spec))
     dist, idx = run(sharded)
     return np.asarray(idx)[:n], np.asarray(dist)[:n]

@@ -17,6 +17,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+HOST_AXIS = "hosts"
 
 
 def shard_map_norep(f, *, mesh, in_specs, out_specs):
@@ -44,6 +45,23 @@ def make_mesh(shape: Optional[Sequence[int]] = None,
         n = int(np.prod(shape))
         devices = devices[:n]
     return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def make_mesh_2d(n_hosts: int,
+                 devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """2-D ("hosts", "data") mesh: the outer axis crosses host (DCN)
+    boundaries, the inner axis stays on one host's ICI (SURVEY.md §2.8/§5
+    mesh-axes checklist). jax.devices() is process-major, so reshaping it
+    (n_hosts, -1) puts each row of the mesh on one host: collectives over
+    DATA_AXIS ride ICI only; collectives over HOST_AXIS are the bulk DCN
+    hops (knn/ring.py _ring2d_body)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if len(devices) % n_hosts:
+        raise ValueError(
+            f"{len(devices)} devices do not split over {n_hosts} hosts"
+        )
+    return Mesh(np.array(devices).reshape(n_hosts, -1),
+                (HOST_AXIS, DATA_AXIS))
 
 
 def shard_rows(arr: jax.Array, mesh: Mesh) -> jax.Array:

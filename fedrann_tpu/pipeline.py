@@ -490,9 +490,17 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                         or (config.knn_sharded == "auto" and n_dev > 1))
             if use_mesh:
                 from fedrann_tpu.knn.ring import knn_exact_sharded
-                from fedrann_tpu.parallel.mesh import make_mesh
+                from fedrann_tpu.parallel.mesh import make_mesh, make_mesh_2d
 
-                mesh = make_mesh(config.mesh_shape)
+                if config.knn_shard_strategy == "ring2d":
+                    # 2-D ("hosts", "data") mesh; mesh_shape[0] (default 1
+                    # in a single-process run) is the hosts-axis extent
+                    n_hosts = (config.mesh_shape[0]
+                               if config.mesh_shape and len(config.mesh_shape) == 2
+                               else 1)
+                    mesh = make_mesh_2d(n_hosts)
+                else:
+                    mesh = make_mesh(config.mesh_shape)
                 logger.info("k-NN sharded over %d devices (%s)",
                             mesh.devices.size, config.knn_shard_strategy)
                 idx, dist = knn_exact_sharded(

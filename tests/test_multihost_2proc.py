@@ -57,7 +57,7 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("dcn_knn", ["ring", "host"])
+@pytest.mark.parametrize("dcn_knn", ["ring", "ring2d", "host"])
 def test_two_process_matches_single(tmp_path, dcn_knn):
     from fedrann_tpu.sim import simulate_reads, write_fasta
 

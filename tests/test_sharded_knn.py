@@ -42,6 +42,32 @@ def test_sharded_self_at_rank_zero(mesh, strategy):
     assert np.allclose(dist_s[:, 0], 0.0, atol=1e-5)
 
 
+@pytest.mark.parametrize("n_hosts", [1, 2, 4, 8])
+def test_ring2d_matches_single_device(n_hosts):
+    """Ring-over-ring on every ("hosts", "data") factorization of the
+    8-device mesh == the single-device exact search (the DCN-aware schedule
+    must be a pure re-tiling of the same computation)."""
+    from fedrann_tpu.parallel.mesh import make_mesh_2d
+
+    mesh2 = make_mesh_2d(n_hosts)
+    rng = np.random.default_rng(35)
+    e = rng.normal(size=(200, 64)).astype(np.float32)
+    idx_s, dist_s = knn_exact_sharded(e, 10, mesh=mesh2, strategy="ring2d",
+                                      precision="fp32")
+    idx_1, dist_1 = knn_exact(e, 10, precision="fp32")
+    assert np.allclose(dist_s, dist_1, atol=1e-4)
+    for r in range(200):
+        assert len(set(idx_s[r]) & set(idx_1[r])) >= 9, r
+    assert idx_s.max() < 200 and idx_s.min() >= 0
+
+
+def test_ring2d_requires_2d_mesh(mesh):
+    rng = np.random.default_rng(36)
+    e = rng.normal(size=(64, 16)).astype(np.float32)
+    with pytest.raises(ValueError, match="ring2d"):
+        knn_exact_sharded(e, 4, mesh=mesh, strategy="ring2d")
+
+
 def test_mesh_smaller_than_devices():
     mesh = make_mesh(shape=(4,))
     rng = np.random.default_rng(33)
