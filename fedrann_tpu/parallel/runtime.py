@@ -61,21 +61,30 @@ def initialize_distributed(
     return jax.process_index(), jax.process_count()
 
 
-def host_read_range(n_reads: int, process_id: int, num_processes: int,
-                    row_multiple: int = 1) -> tuple[int, int]:
-    """Contiguous read range owned by a process (balanced to +-1).
+def process_quota(n_reads: int, num_processes: int,
+                  row_multiple: int = 1) -> int:
+    """The uniform per-process read quota `per`.
 
-    row_multiple: round the per-process quota up so 2*per embedding rows
-    divide evenly over that many local devices (the device-resident
-    multi-host k-NN shards each process's 2*per-row block across its local
-    devices — knn_exact_sharded_multihost). Interior processes stay full,
-    so global embedding row 2g still belongs to read g and every padding
-    row sits at the global tail (>= 2*n_reads)."""
+    row_multiple: round the quota up so 2*per embedding rows divide evenly
+    over that many local devices (the device-resident multi-host k-NN
+    shards each process's 2*per-row block across its local devices —
+    knn_exact_sharded_multihost). Interior processes stay full, so global
+    embedding row 2g still belongs to read g and every padding row sits at
+    the global tail (>= 2*n_reads)."""
     per = -(-n_reads // num_processes)
     if row_multiple > 1:
-        step = row_multiple if row_multiple % 2 == 0 else 2 * row_multiple
-        half = step // 2  # smallest per increment keeping 2*per % row_multiple == 0
+        # smallest increment keeping 2*per % row_multiple == 0
+        half = (row_multiple // 2 if row_multiple % 2 == 0
+                else row_multiple)
         per = -(-per // half) * half
+    return per
+
+
+def host_read_range(n_reads: int, process_id: int, num_processes: int,
+                    row_multiple: int = 1) -> tuple[int, int]:
+    """Contiguous read range owned by a process (balanced to +-1); see
+    process_quota for the row_multiple rounding."""
+    per = process_quota(n_reads, num_processes, row_multiple)
     start = min(process_id * per, n_reads)
     return start, min(start + per, n_reads)
 
@@ -272,8 +281,7 @@ def run_pipeline_multihost(config):
     )
     emb_local, _ = compute_embeddings(local, library, config, p_ext, staged)
 
-    # the uniform per-process quota `per` implied by host_read_range
-    per = host_read_range(n_reads, 0, nproc, row_multiple)[1]
+    per = process_quota(n_reads, nproc, row_multiple)
 
     dcn_strategy = os.environ.get(
         "FEDRANN_TPU_MULTIHOST_KNN", config.knn_shard_strategy

@@ -68,6 +68,29 @@ def test_ring2d_requires_2d_mesh(mesh):
         knn_exact_sharded(e, 4, mesh=mesh, strategy="ring2d")
 
 
+@pytest.mark.parametrize("strategy", ["ring", "ring2d", "allgather"])
+def test_multihost_kernel_single_process(strategy):
+    """knn_exact_sharded_multihost in a 1-process launch (process_count=1,
+    8 local devices): must reproduce the single-device search with the
+    per-process block zero-padding in play (n_reads not a multiple of the
+    quota)."""
+    from fedrann_tpu.knn.ring import knn_exact_sharded_multihost
+    from fedrann_tpu.parallel.runtime import process_quota
+
+    rng = np.random.default_rng(37)
+    n_reads = 93  # odd: forces padding rows inside the block
+    e = rng.normal(size=(2 * n_reads, 32)).astype(np.float32)
+    per = process_quota(n_reads, 1, row_multiple=8)
+    idx_m, dist_m = knn_exact_sharded_multihost(
+        e, n_reads, per, 10, strategy=strategy, precision="fp32")
+    idx_1, dist_1 = knn_exact(e, 10, precision="fp32")
+    assert idx_m.shape == (2 * n_reads, 10)
+    assert np.allclose(dist_m, dist_1, atol=1e-4)
+    assert idx_m.max() < 2 * n_reads and idx_m.min() >= 0
+    for r in range(2 * n_reads):
+        assert len(set(idx_m[r]) & set(idx_1[r])) >= 9, r
+
+
 def test_mesh_smaller_than_devices():
     mesh = make_mesh(shape=(4,))
     rng = np.random.default_rng(33)
