@@ -15,10 +15,13 @@
 #include <zlib.h>
 
 #include <charconv>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <deque>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <vector>
@@ -45,108 +48,211 @@ void init_lut() {
   done = true;
 }
 
-// Line-oriented reader over gzFile (zlib transparently handles plain files).
-class LineReader {
- public:
-  explicit LineReader(const char* path) : f_(gzopen(path, "rb")) {
-    if (f_) gzbuffer(f_, 1 << 20);
-  }
-  ~LineReader() {
-    if (f_) gzclose(f_);
-  }
-  bool ok() const { return f_ != nullptr; }
+// ---- block-based record parsers ----------------------------------------
+//
+// The old path walked the stream with gzgets line-by-line (a std::string
+// alloc/copy per line); these parse whole decompressed blocks in place with
+// memchr, consuming only COMPLETE records and telling the caller how many
+// bytes they used, so a producer thread can keep decompressing the next
+// block while this thread parses (the pigz-role overlap the reference gets
+// from subprocess pipes, fastx_io.py:205-227).
 
-  // Returns false at EOF. Strips trailing \r\n.
-  bool next_line(std::string* out) {
-    out->clear();
-    char buf[1 << 16];
-    for (;;) {
-      if (gzgets(f_, buf, sizeof(buf)) == nullptr) return !out->empty();
-      size_t n = strlen(buf);
-      out->append(buf, n);
-      if (n > 0 && buf[n - 1] == '\n') break;  // got full line
-    }
-    while (!out->empty() && (out->back() == '\n' || out->back() == '\r'))
-      out->pop_back();
-    return true;
-  }
-
- private:
-  gzFile f_;
-};
-
-void append_name(Buffers* b, const std::string& header) {
-  // name = first whitespace-separated token after the marker char
-  size_t start = 1, end = start;
-  while (end < header.size() && header[end] != ' ' && header[end] != '\t')
-    ++end;
+void append_name_span(Buffers* b, const char* data, size_t ns, size_t ne) {
   b->name_offsets.push_back(b->names.size());
-  b->names.insert(b->names.end(), header.begin() + start, header.begin() + end);
+  b->names.insert(b->names.end(), data + ns, data + ne);
   b->names.push_back('\0');
 }
 
-void append_seq(Buffers* b, const std::string& seq) {
-  size_t base = b->codes.size();
-  b->codes.resize(base + seq.size());
-  const unsigned char* src = (const unsigned char*)seq.data();
-  uint8_t* dst = b->codes.data() + base;
-  for (size_t i = 0; i < seq.size(); ++i) dst[i] = g_lut[src[i]];
+void append_seq_span(Buffers* b, const char* data, size_t i, size_t stop) {
+  size_t cur = b->codes.size();
+  b->codes.resize(cur + (stop - i));
+  uint8_t* dst = b->codes.data() + cur;
+  for (size_t j = i; j < stop; ++j) dst[j - i] = g_lut[(unsigned char)data[j]];
 }
 
+// Parse complete FASTA records from data[0..len). A record is complete
+// when the next '>' begins a line inside the buffer, or at eof. Returns
+// bytes consumed (always a record boundary unless eof).
+size_t parse_fasta_block(const char* data, size_t len, bool eof, Buffers* b) {
+  size_t i = 0, consumed = 0;
+  for (;;) {
+    while (i < len && (data[i] == '\n' || data[i] == '\r')) ++i;
+    if (i >= len) return len;  // only blanks left: consume them
+    if (data[i] != '>') return consumed;  // caller reports bad format
+    const char* nl = (const char*)memchr(data + i, '\n', len - i);
+    if (!nl && !eof) return consumed;  // header incomplete
+    size_t line_end = nl ? (size_t)(nl - data) : len;
+    // name = first token after '>'
+    size_t ns = i + 1, ne = ns;
+    while (ne < line_end && data[ne] != ' ' && data[ne] != '\t' &&
+           data[ne] != '\r')
+      ++ne;
+    // find the record's end (next '>' at line start) BEFORE committing
+    size_t j = nl ? line_end + 1 : len;
+    size_t rec_end = len;
+    bool complete = eof;
+    for (size_t p = j; p < len;) {
+      if (data[p] == '>') { rec_end = p; complete = true; break; }
+      const char* e = (const char*)memchr(data + p, '\n', len - p);
+      if (!e) { if (eof) rec_end = len; break; }
+      p = (size_t)(e - data) + 1;
+    }
+    if (!complete) return consumed;
+    append_name_span(b, data, ns, ne);
+    for (size_t p = j; p < rec_end;) {
+      const char* e = (const char*)memchr(data + p, '\n', rec_end - p);
+      size_t le = e ? (size_t)(e - data) : rec_end;
+      size_t stop = le;
+      while (stop > p && data[stop - 1] == '\r') --stop;
+      append_seq_span(b, data, p, stop);
+      p = le + 1;
+    }
+    b->offsets.push_back(b->codes.size());
+    i = rec_end;
+    consumed = i;
+  }
+}
+
+// Parse complete 4-line FASTQ records. Returns bytes consumed.
+size_t parse_fastq_block(const char* data, size_t len, bool eof, Buffers* b) {
+  size_t i = 0, consumed = 0;
+  for (;;) {
+    while (i < len && (data[i] == '\n' || data[i] == '\r')) ++i;
+    if (i >= len) return len;  // trailing blanks fully consumed
+    if (data[i] != '@') return consumed;  // bad format for caller
+    // locate the 4 line ends
+    size_t ends[4];
+    size_t p = i;
+    for (int l = 0; l < 4; ++l) {
+      const char* e = (const char*)memchr(data + p, '\n', len - p);
+      if (!e) {
+        // a final quality line without trailing newline is fine at eof;
+        // a record missing its quality bytes entirely is truncated
+        if (!eof || l < 3 || p >= len) return consumed;
+        ends[l] = len;
+        p = len;
+        break;
+      }
+      ends[l] = (size_t)(e - data);
+      p = ends[l] + 1;
+    }
+    size_t h_end = ends[0];
+    size_t ns = i + 1, ne = ns;
+    while (ne < h_end && data[ne] != ' ' && data[ne] != '\t' &&
+           data[ne] != '\r')
+      ++ne;
+    append_name_span(b, data, ns, ne);
+    size_t ss = ends[0] + 1, se = ends[1];
+    while (se > ss && data[se - 1] == '\r') --se;
+    append_seq_span(b, data, ss, se);
+    b->offsets.push_back(b->codes.size());
+    i = (ends[3] < len) ? ends[3] + 1 : len;
+    consumed = i;
+  }
+}
+
+// Bounded queue of decompressed chunks: one producer (gzread), one
+// consumer (block parser).
+struct ChunkQueue {
+  std::mutex m;
+  std::condition_variable cv;
+  std::deque<std::vector<char>> q;
+  bool done = false;
+  int error = 0;
+  static constexpr size_t kMaxDepth = 4;
+
+  // false => consumer already finished (producer should stop)
+  bool push(std::vector<char>&& chunk) {
+    std::unique_lock<std::mutex> lk(m);
+    cv.wait(lk, [&] { return q.size() < kMaxDepth || done; });
+    if (done) return false;
+    q.emplace_back(std::move(chunk));
+    cv.notify_all();
+    return true;
+  }
+  // false => stream finished (done and drained)
+  bool pop(std::vector<char>* out) {
+    std::unique_lock<std::mutex> lk(m);
+    cv.wait(lk, [&] { return !q.empty() || done; });
+    if (q.empty()) return false;
+    *out = std::move(q.front());
+    q.pop_front();
+    cv.notify_all();
+    return true;
+  }
+  void finish(int err) {
+    std::lock_guard<std::mutex> lk(m);
+    done = true;
+    error = err;
+    cv.notify_all();
+  }
+};
+
+// Streaming parse of any supported input (plain or gzip, FASTA or FASTQ):
+// a producer thread decompresses 8 MB chunks while this thread parses
+// complete records; the unconsumed tail of each buffer carries over.
 // returns 0 ok, negative error
 int parse(const char* path, Buffers* b) {
   init_lut();
-  LineReader reader(path);
-  if (!reader.ok()) return -1;
+  gzFile f = gzopen(path, "rb");
+  if (!f) return -1;
+  gzbuffer(f, 1 << 20);
 
-  std::string line;
-  // skip leading blank lines, sniff format from first marker char
-  do {
-    if (!reader.next_line(&line)) return -2;  // empty input
-  } while (line.empty());
-
-  b->offsets.push_back(0);
-  if (line[0] == '>') {  // FASTA (multi-line sequences)
-    std::string header = line;
-    std::string seq;
+  ChunkQueue queue;
+  std::thread producer([&] {
+    constexpr size_t kChunk = 8u << 20;
     for (;;) {
-      append_name(b, header);
-      seq.clear();
-      bool eof = false;
-      for (;;) {
-        if (!reader.next_line(&line)) {
-          eof = true;
-          break;
-        }
-        if (line.empty()) continue;
-        if (line[0] == '>') break;
-        seq += line;
-      }
-      append_seq(b, seq);
-      b->offsets.push_back(b->codes.size());
-      if (eof) break;
-      header = line;
+      std::vector<char> chunk(kChunk);
+      int n = gzread(f, chunk.data(), (unsigned)kChunk);
+      if (n < 0) { queue.finish(-5); return; }
+      if (n == 0) { queue.finish(0); return; }
+      chunk.resize((size_t)n);
+      if (!queue.push(std::move(chunk))) return;  // consumer bailed
+      if ((size_t)n < kChunk) { queue.finish(0); return; }
     }
-  } else if (line[0] == '@') {  // FASTQ (4-line records)
-    for (;;) {
-      if (line.empty()) {
-        if (!reader.next_line(&line)) break;
+  });
+
+  std::vector<char> buf;
+  std::vector<char> chunk;
+  int format = 0;  // 0 unknown, 1 fasta, 2 fastq
+  int rc = 0;
+  bool eof = false;
+  b->offsets.push_back(0);
+  for (;;) {
+    if (!eof) {
+      if (queue.pop(&chunk)) {
+        buf.insert(buf.end(), chunk.begin(), chunk.end());
+      } else {
+        eof = true;
+        if (queue.error) { rc = queue.error; break; }
+      }
+    }
+    if (format == 0) {
+      size_t i = 0;
+      while (i < buf.size() && (buf[i] == '\n' || buf[i] == '\r')) ++i;
+      if (i >= buf.size()) {
+        buf.clear();
+        if (eof) { rc = -2; break; }  // empty input
         continue;
       }
-      if (line[0] != '@') return -3;
-      append_name(b, line);
-      std::string seq;
-      if (!reader.next_line(&seq)) return -4;      // sequence
-      if (!reader.next_line(&line)) return -4;     // '+'
-      if (!reader.next_line(&line)) return -4;     // quality
-      append_seq(b, seq);
-      b->offsets.push_back(b->codes.size());
-      if (!reader.next_line(&line)) break;         // next header
+      if (buf[i] == '>') format = 1;
+      else if (buf[i] == '@') format = 2;
+      else { rc = -3; break; }
     }
-  } else {
-    return -3;  // unknown format
+    size_t used = (format == 1)
+        ? parse_fasta_block(buf.data(), buf.size(), eof, b)
+        : parse_fastq_block(buf.data(), buf.size(), eof, b);
+    if (used > 0) buf.erase(buf.begin(), buf.begin() + used);
+    if (eof) {
+      if (!buf.empty()) rc = -4;  // truncated or malformed tail
+      break;
+    }
   }
-  return 0;
+  queue.finish(rc);  // unblock the producer if we bailed early
+  producer.join();
+  gzclose(f);
+  if (rc == 0 && b->offsets.size() == 1) rc = -2;  // no records
+  return rc;
 }
 
 // ---- multi-threaded plain-FASTA parsing --------------------------------
