@@ -28,19 +28,37 @@ def run_one(cfg, warm: bool = True) -> dict:
     from fedrann_tpu.pipeline import run_pipeline
     from fedrann_tpu.sim import simulate_reads, write_fasta
 
-    sim = simulate_reads(
-        genome_length=cfg.genome, coverage=cfg.coverage,
-        mean_read_length=cfg.read_len, error_rate=cfg.error_rate, seed=1234,
-    )
+    def _sim():
+        return simulate_reads(
+            genome_length=cfg.genome, coverage=cfg.coverage,
+            mean_read_length=cfg.read_len, error_rate=cfg.error_rate,
+            seed=1234,
+        )
+
     # persistent per-config workdir: reruns reuse the fasta and the packed
-    # cache (a chr1-scale sim + write + parse costs over an hour)
+    # cache (a chr1-scale sim + write + parse costs over an hour). The
+    # simulation itself is lazy: a retry with the fasta already on disk
+    # skips it unless the rung is small enough to compute truth recall
+    # (simulate_reads is seed-deterministic, so re-deriving it for truth
+    # matches the cached fasta).
     if True:
         tmp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "_work", cfg.name.split(":")[0])
         os.makedirs(tmp, exist_ok=True)
         fasta = os.path.join(tmp, "reads.fasta")
-        if not os.path.exists(fasta):
+        meta_path = fasta + ".meta.json"
+        sim = None
+        if os.path.exists(fasta) and os.path.exists(meta_path):
+            with open(meta_path) as f:
+                n_reads = json.load(f)["n_reads"]
+        else:
+            sim = _sim()
+            n_reads = len(sim.names)
             write_fasta(fasta, sim.names, sim.sequences)
+            with open(meta_path, "w") as f:
+                json.dump({"n_reads": n_reads}, f)
+        if n_reads <= 100_000 and sim is None:
+            sim = _sim()  # needed for truth recall below
         args = [
             "-i", fasta, "-o", os.path.join(tmp, "out"),
             "-k", str(cfg.k),
@@ -60,9 +78,9 @@ def run_one(cfg, warm: bool = True) -> dict:
         wall = time.perf_counter() - t0
 
     truth = (sim.truth_overlaps(min_overlap=max(500, cfg.read_len // 4))
-             if len(sim.names) <= 100_000 else None)  # O(N^2)-ish at huge N
+             if sim is not None else None)  # O(N^2)-ish at huge N
     recall = (
-        truth_recall(result.neighbor_indices, truth, len(sim.names))
+        truth_recall(result.neighbor_indices, truth, n_reads)
         if truth else float("nan")
     )
     # stratified: recall over pairs with >= half / >= three-quarter read
@@ -73,13 +91,13 @@ def run_one(cfg, warm: bool = True) -> dict:
         t2 = sim.truth_overlaps(min_overlap=int(cfg.read_len * frac_ov))
         if t2:
             strat[f"recall_ov{int(frac_ov*100)}"] = round(
-                truth_recall(result.neighbor_indices, t2, len(sim.names)), 4)
+                truth_recall(result.neighbor_indices, t2, n_reads), 4)
     return {
         **strat,
         "config": cfg.name,
         "warm": warm,
-        "n_reads": len(sim.names),
-        "reads_per_s": round(len(sim.names) / wall, 2),
+        "n_reads": n_reads,
+        "reads_per_s": round(n_reads / wall, 2),
         "wall_s": round(wall, 2),
         "stages_s": {k: round(v["seconds"], 2)
                      for k, v in result.metrics.items()},
