@@ -78,7 +78,8 @@ def run_one(cfg, warm: bool = True) -> dict:
         wall = time.perf_counter() - t0
 
     truth = (sim.truth_overlaps(min_overlap=max(500, cfg.read_len // 4))
-             if sim is not None else None)  # O(N^2)-ish at huge N
+             if sim is not None and n_reads <= 100_000
+             else None)  # O(N^2)-ish at huge N
     recall = (
         truth_recall(result.neighbor_indices, truth, n_reads)
         if truth else float("nan")

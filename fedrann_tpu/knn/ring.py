@@ -229,13 +229,11 @@ def knn_exact_sharded_multihost(
     Returns (indices, distances) for THIS process's real rows, in global
     row numbering (row 2g / 2g+1 for global read g).
     """
-    import jax as _jax
-
-    n_local_dev = _jax.local_device_count()
+    n_local_dev = jax.local_device_count()
     if strategy == "ring2d":
         # hosts axis == process boundary: inner ring stays on each
         # process's ICI, the outer hop is the only DCN transfer
-        mesh = make_mesh_2d(_jax.process_count())
+        mesh = make_mesh_2d(jax.process_count())
     else:
         mesh = make_mesh()  # all global devices, process-major order
     block_rows = 2 * per_process_reads
@@ -254,7 +252,7 @@ def knn_exact_sharded_multihost(
     kernel, row_spec = _make_kernel(mesh, strategy, k, n_real, precision)
     garr = jax.make_array_from_process_local_data(
         NamedSharding(mesh, row_spec), local_block,
-        (block_rows * _jax.process_count(), d)
+        (block_rows * jax.process_count(), d)
     )
 
     @jax.jit

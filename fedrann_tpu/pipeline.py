@@ -493,12 +493,24 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                 from fedrann_tpu.parallel.mesh import make_mesh, make_mesh_2d
 
                 if config.knn_shard_strategy == "ring2d":
-                    # 2-D ("hosts", "data") mesh; mesh_shape[0] (default 1
-                    # in a single-process run) is the hosts-axis extent
-                    n_hosts = (config.mesh_shape[0]
-                               if config.mesh_shape and len(config.mesh_shape) == 2
-                               else 1)
-                    mesh = make_mesh_2d(n_hosts)
+                    # 2-D ("hosts", "data") mesh: mesh_shape=(H, D) uses
+                    # the first H*D devices; any other mesh_shape cannot
+                    # express a hosts axis, so say so instead of silently
+                    # dropping it
+                    if config.mesh_shape and len(config.mesh_shape) == 2:
+                        n_hosts, n_local = config.mesh_shape
+                        mesh = make_mesh_2d(
+                            n_hosts,
+                            devices=jax.devices()[: n_hosts * n_local],
+                        )
+                    else:
+                        if config.mesh_shape:
+                            logger.warning(
+                                "mesh_shape %s is not (hosts, data); "
+                                "ring2d uses a (1, n_devices) mesh instead",
+                                config.mesh_shape,
+                            )
+                        mesh = make_mesh_2d(1)
                 else:
                     mesh = make_mesh(config.mesh_shape)
                 logger.info("k-NN sharded over %d devices (%s)",

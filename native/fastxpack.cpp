@@ -205,6 +205,18 @@ int parse(const char* path, Buffers* b) {
       std::vector<char> chunk(kChunk);
       int n = gzread(f, chunk.data(), (unsigned)kChunk);
       if (n < 0) { queue.finish(-5); return; }
+      if ((size_t)n < kChunk) {
+        // a short read is EOF only if the stream ended cleanly: zlib
+        // reports a truncated/corrupt gzip member via gzerror, NOT as a
+        // negative gzread (silently parsing half a file is far worse
+        // than failing)
+        int errnum = Z_OK;
+        gzerror(f, &errnum);
+        if (errnum != Z_OK && errnum != Z_STREAM_END) {
+          queue.finish(-5);
+          return;
+        }
+      }
       if (n == 0) { queue.finish(0); return; }
       chunk.resize((size_t)n);
       if (!queue.push(std::move(chunk))) return;  // consumer bailed
@@ -246,6 +258,17 @@ int parse(const char* path, Buffers* b) {
     if (eof) {
       if (!buf.empty()) rc = -4;  // truncated or malformed tail
       break;
+    }
+    if (used == 0) {
+      // nothing consumed mid-stream: a record head that is not the
+      // format's marker is malformed NOW — fail fast instead of
+      // buffering the rest of the file until eof
+      size_t i = 0;
+      while (i < buf.size() && (buf[i] == '\n' || buf[i] == '\r')) ++i;
+      if (i < buf.size() && buf[i] != (format == 1 ? '>' : '@')) {
+        rc = -3;
+        break;
+      }
     }
   }
   queue.finish(rc);  // unblock the producer if we bailed early

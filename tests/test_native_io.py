@@ -241,3 +241,42 @@ def test_lengths_unpack_matches_validbits_unpack(tmp_path):
     b2 = packed2.buckets[0]
     pop = np.unpackbits(b2.valid_bits, axis=1).sum(axis=1)
     assert (pop[: len(b2.lengths)] == b2.lengths).sum() == len(b2.lengths) - 1
+
+
+def test_truncated_gzip_rejected(tmp_path):
+    """A gzip stream cut mid-member must error, not silently parse the
+    decompressed prefix (zlib reports truncation via gzerror, not a
+    negative gzread)."""
+    import gzip
+
+    import pytest
+
+    from fedrann_tpu.io.native import pack_reads_native
+    from fedrann_tpu.sim import simulate_reads
+
+    sim = simulate_reads(genome_length=40000, coverage=4,
+                         mean_read_length=1500, seed=5)
+    gz = str(tmp_path / "r.fasta.gz")
+    with gzip.open(gz, "wt") as f:
+        for n, s in zip(sim.names, sim.sequences):
+            f.write(f">{n}\n{s}\n")
+    data = open(gz, "rb").read()
+    trunc = str(tmp_path / "trunc.fasta.gz")
+    open(trunc, "wb").write(data[: len(data) // 2])
+    with pytest.raises(ValueError):
+        pack_reads_native(trunc, (2048,))
+
+
+def test_malformed_fastq_fails_fast(tmp_path):
+    """A stray extra line between FASTQ records must raise (the block
+    parser detects a non-'@' record head mid-stream instead of buffering
+    the rest of the file)."""
+    import pytest
+
+    from fedrann_tpu.io.native import pack_reads_native
+
+    bad = str(tmp_path / "bad.fastq")
+    with open(bad, "w") as f:
+        f.write("@r1\nACGTACGT\n+\nIIIIIIII\nEXTRA\n@r2\nACGT\n+\nIIII\n")
+    with pytest.raises(ValueError):
+        pack_reads_native(bad, (2048,))
