@@ -370,3 +370,19 @@ def test_staged_candidates_path_matches_classic(k):
     got = read_hits_staged(staged, index, k, 1024)
     assert np.array_equal(np.asarray(classic[0]), np.asarray(got[0]))
     assert np.array_equal(np.asarray(classic[1]), np.asarray(got[1]))
+
+
+def test_distance_u16_transfer_roundtrip():
+    """u16 wire format: max rounding error bounded by 1/(2*DIST_SCALE) over
+    the full [0, 2] cosine-distance range; negatives clip to 0."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fedrann_tpu.knn.topk import DIST_SCALE, transfer_dist
+
+    d = np.linspace(-0.001, 2.0, 4097, dtype=np.float32).reshape(1, -1)
+    out = transfer_dist(jnp.asarray(d), "u16")
+    err = np.abs(out - np.clip(d, 0, 2))
+    assert err.max() <= 0.5 / DIST_SCALE + 1e-7, err.max()
+    exact = transfer_dist(jnp.asarray(d), "f32")
+    assert np.array_equal(exact, d)
