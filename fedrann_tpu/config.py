@@ -79,6 +79,11 @@ class PipelineConfig:
     # "auto": shard the k-NN over all devices when more than one is visible;
     # "never": single-device; "always": require a mesh (error if 1 device).
     knn_sharded: str = "auto"
+    # Distance wire format for the k-NN device->host copy: "u16" halves
+    # the payload (~3.1e-5 max rounding error — knn/topk.py quantize_dist);
+    # "f32" is the exact copy. Device->host runs at ~20 MB/s here, so the
+    # payload IS the cost.
+    knn_transfer: str = "u16"
     # Write a jax.profiler trace (XPlane, viewable in TensorBoard /
     # xprof) to <output_dir>/trace. Replaces the reference's
     # memory-profiler-only story (SURVEY.md §5 tracing).
@@ -124,5 +129,7 @@ class PipelineConfig:
                 "knn_shard_strategy must be 'allgather', 'ring', or 'ring2d'")
         if self.knn_sharded not in ("auto", "never", "always"):
             raise ValueError("knn_sharded must be 'auto', 'never', or 'always'")
+        if self.knn_transfer not in ("u16", "f32"):
+            raise ValueError("knn_transfer must be 'u16' or 'f32'")
         if self.knn_topk_method not in ("exact", "approx"):
             raise ValueError("knn_topk_method must be 'exact' or 'approx'")

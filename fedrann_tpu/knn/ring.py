@@ -26,7 +26,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
-from fedrann_tpu.knn.topk import normalize_rows
+from fedrann_tpu.knn.topk import DIST_SCALE, normalize_rows, quantize_dist
 from fedrann_tpu.parallel.mesh import (
     DATA_AXIS,
     HOST_AXIS,
@@ -209,6 +209,7 @@ def knn_exact_sharded_multihost(
     n_neighbors: int,
     strategy: str = "ring",
     precision: str = "bf16",
+    transfer: str = "f32",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact cosine top-k over a GLOBAL (multi-process) device mesh.
 
@@ -259,6 +260,8 @@ def knn_exact_sharded_multihost(
     def run(e):
         en = normalize_rows(e)
         dist, idx = kernel(en)
+        if transfer == "u16":  # quantize before the device->host copy
+            dist = quantize_dist(dist)
         return dist, idx
 
     dist, idx = run(garr)
@@ -270,7 +273,10 @@ def knn_exact_sharded_multihost(
         return np.concatenate([np.asarray(s.data) for s in shards])
 
     n_mine = emb_local.shape[0]
-    return _local_rows(idx)[:n_mine], _local_rows(dist)[:n_mine]
+    dist_np = _local_rows(dist)[:n_mine]
+    if transfer == "u16":
+        dist_np = dist_np.astype(np.float32) * np.float32(1.0 / DIST_SCALE)
+    return _local_rows(idx)[:n_mine], dist_np
 
 
 def knn_exact_sharded(
@@ -279,6 +285,7 @@ def knn_exact_sharded(
     mesh=None,
     strategy: str = "ring",
     precision: str = "bf16",
+    transfer: str = "f32",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact cosine top-k with rows sharded over the mesh's data axis.
 
@@ -307,8 +314,13 @@ def knn_exact_sharded(
     def run(e):
         en = normalize_rows(e)
         dist, idx = kernel(en)
+        if transfer == "u16":  # quantize before the device->host copy
+            dist = quantize_dist(dist)
         return dist, idx
 
     sharded = jax.device_put(padded, NamedSharding(mesh, row_spec))
     dist, idx = run(sharded)
-    return np.asarray(idx)[:n], np.asarray(dist)[:n]
+    dist_np = np.asarray(dist)[:n]
+    if transfer == "u16":
+        dist_np = dist_np.astype(np.float32) * np.float32(1.0 / DIST_SCALE)
+    return np.asarray(idx)[:n], dist_np

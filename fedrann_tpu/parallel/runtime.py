@@ -307,6 +307,7 @@ def run_pipeline_multihost(config):
             candidate_tile=config.knn_candidate_tile,
             precision=config.knn_precision,
             method=config.knn_topk_method,
+            transfer=config.knn_transfer,
         )
         idx, dist = np.asarray(idx), np.asarray(dist)
     else:
@@ -319,6 +320,7 @@ def run_pipeline_multihost(config):
         idx, dist = knn_exact_sharded_multihost(
             np.asarray(emb_local), n_reads, per, config.n_neighbors,
             strategy=dcn_strategy, precision=config.knn_precision,
+            transfer=config.knn_transfer,
         )
     k_nn = idx.shape[1]
 

@@ -519,6 +519,7 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                     emb, config.n_neighbors, mesh=mesh,
                     strategy=config.knn_shard_strategy,
                     precision=config.knn_precision,
+                    transfer=config.knn_transfer,
                 )
             else:
                 idx, dist = knn_exact(
@@ -527,6 +528,7 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                     candidate_tile=config.knn_candidate_tile,
                     precision=config.knn_precision,
                     method=config.knn_topk_method,
+                    transfer=config.knn_transfer,
                 )
 
         with metrics.stage("output"):
