@@ -26,7 +26,12 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
-from fedrann_tpu.knn.topk import DIST_SCALE, normalize_rows, quantize_dist
+from fedrann_tpu.knn.topk import (
+    DIST_SCALE,
+    _idx_u16,
+    normalize_rows,
+    quantize_dist,
+)
 from fedrann_tpu.parallel.mesh import (
     DATA_AXIS,
     HOST_AXIS,
@@ -323,4 +328,6 @@ def knn_exact_sharded(
     dist_np = np.asarray(dist)[:n]
     if transfer == "u16":
         dist_np = dist_np.astype(np.float32) * np.float32(1.0 / DIST_SCALE)
+    if transfer == "u16" and n <= 65536:
+        return np.asarray(_idx_u16(idx))[:n].astype(np.int32), dist_np
     return np.asarray(idx)[:n], dist_np

@@ -47,6 +47,20 @@ def transfer_dist(dist_dev: jax.Array, transfer: str) -> np.ndarray:
 
 
 @jax.jit
+def _idx_u16(idx: jax.Array) -> jax.Array:
+    return jnp.clip(idx, 0, 65535).astype(jnp.uint16)
+
+
+def transfer_idx(idx_dev: jax.Array, transfer: str, n_rows: int) -> np.ndarray:
+    """Device->host copy of a neighbor-index matrix; rides uint16 when
+    every valid index fits (n_rows <= 65536 — true for the small/medium
+    rungs where the index payload is half the copy)."""
+    if transfer == "u16" and n_rows <= 65536:
+        return np.asarray(_idx_u16(idx_dev)).astype(np.int32)
+    return np.asarray(idx_dev)
+
+
+@jax.jit
 def normalize_rows(e: jax.Array) -> jax.Array:
     """L2-normalize rows; zero rows stay zero (their cosine distance to
     everything is then exactly 1)."""
@@ -153,7 +167,7 @@ def knn_exact(
         en, k, min(query_tile, max(8, n)), min(candidate_tile, max(8, n)),
         precision, method,
     )
-    return np.asarray(idx), transfer_dist(dist, transfer)
+    return transfer_idx(idx, transfer, n), transfer_dist(dist, transfer)
 
 
 def knn_exact_block(
@@ -177,4 +191,4 @@ def knn_exact_block(
         min(query_tile, max(8, queries.shape[0])),
         min(candidate_tile, max(8, n)), precision, method,
     )
-    return np.asarray(idx), transfer_dist(dist, transfer)
+    return transfer_idx(idx, transfer, n), transfer_dist(dist, transfer)
