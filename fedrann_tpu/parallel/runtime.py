@@ -199,11 +199,7 @@ def run_pipeline_multihost(config):
     from fedrann_tpu.io.packing import PackedReads, pack_reads
     from fedrann_tpu.io.tsv import write_overlaps_path
     from fedrann_tpu.knn.topk import normalize_rows
-    from fedrann_tpu.pipeline import (
-        _device_chunks,
-        _stage_all_candidates,
-        compute_embeddings,
-    )
+    from fedrann_tpu.pipeline import _stage_chunks, compute_embeddings
     from fedrann_tpu.kmers.library_device import build_library_on_device
     from fedrann_tpu.project.srp import build_precompute
 
@@ -259,9 +255,7 @@ def run_pipeline_multihost(config):
                          length=b.bases.shape[1])
         )
 
-    chunks = _device_chunks(local, config.window_batch, config.chunk_size)
-    staged = _stage_all_candidates(chunks, config)
-    del chunks
+    staged = _stage_chunks(local, config)
     # local shard with min_multiplicity=1 so thinly-spread k-mers survive;
     # the global threshold applies after the count merge
     from fedrann_tpu.kmers.membership import staged_codes

@@ -82,110 +82,60 @@ def _pad_chunk(chunk: np.ndarray, rows: int, fill) -> np.ndarray:
     return np.concatenate([chunk, full_fast(pad_shape, fill, chunk.dtype)])
 
 
-def _device_chunks(packed: PackedReads, window_batch: int,
-                   chunk_size: int | None = None):
-    """Upload every read chunk to the device ONCE; both the count and the
-    embed stages consume the same device arrays (host->device uploads are
-    not free on tunneled hosts, and bases are the smallest representation).
-    chunk_size (the reference's --chunk-size, reads per processing chunk)
-    caps the rows per chunk when given.
-    Returns [(device bases (rows, L) uint8, host read_index (rows,))]."""
-    from fedrann_tpu.io.packing import INVALID
+@functools.partial(
+    jax.jit,
+    static_argnames=("rows", "length", "mode", "k", "hit_buffer", "keep_all"),
+)
+def _stage_chunk_fused(arrs, start, rows, length, mode, k, hit_buffer,
+                       keep_all, seed32, threshold):
+    """ONE device program per chunk: dynamic-slice the pre-padded bucket
+    upload, decode bases, and run the candidate stage. Fusing the old
+    slice -> unpack -> stage dispatch chain matters twice on this platform:
+    per-launch round-trip latency fluctuates 0.1-60 ms with co-tenant load
+    (3 launches/chunk -> 1), and the unpacked (rows, L) bases tensor
+    becomes a jit-internal temp instead of an HBM-resident intermediate
+    held between launches."""
     from fedrann_tpu.kmers.codec import unpack_bases, unpack_bases_len
+    from fedrann_tpu.kmers.membership import stage_candidates
+
+    sl = jax.lax.dynamic_slice_in_dim(arrs[0], start, rows, axis=0)
+    if mode == "bases":
+        bases = sl
+    elif mode == "len":
+        ll = jax.lax.dynamic_slice_in_dim(arrs[1], start, rows, axis=0)
+        bases = unpack_bases_len(sl, ll, length)
+    else:
+        vb = jax.lax.dynamic_slice_in_dim(arrs[1], start, rows, axis=0)
+        bases = unpack_bases(sl, vb, length)
+    return stage_candidates(bases, k, hit_buffer, keep_all, seed32, threshold)
+
+
+def _pad_rows_device(arr: jax.Array, multiple: int, fill) -> jax.Array:
+    """Pad a device array's rows up to a multiple (one concat launch) so
+    every chunk is a clean dynamic_slice of the same compiled shape."""
+    pad = (-arr.shape[0]) % multiple
+    if not pad:
+        return arr
+    return jnp.concatenate(
+        [arr, jnp.full((pad, *arr.shape[1:]), fill, arr.dtype)]
+    )
+
+
+def _stage_chunks(packed: PackedReads, config: PipelineConfig):
+    """Upload each bucket ONCE (no host-side pad copies: fresh multi-MB
+    numpy allocations fault pages at ~30 MB/s here), then run the fused
+    slice+decode+stage program per chunk. Both the count and the embed
+    stages consume the result. chunk_size (the reference's --chunk-size,
+    reads per processing chunk) caps the rows per chunk when given.
+    Returns [(staged_triple, host read_index (rows,))]."""
+    from fedrann_tpu.io.packing import INVALID
+    from fedrann_tpu.kmers.membership import staging_width
 
     import time as _time
 
     _POPCNT = np.unpackbits(
         np.arange(256, dtype=np.uint8)[:, None], axis=1
     ).sum(axis=1).astype(np.int32)
-
-    _t = _time.perf_counter()
-    out = []
-    for bucket in packed.buckets:
-        length = bucket.length or (
-            bucket.bases.shape[1] if bucket.bases is not None else 0
-        )
-        rows = max(8, (window_batch // length) // 8 * 8)
-        if chunk_size:
-            rows = max(8, min(rows, chunk_size // 8 * 8 or 8))
-        n_rows_total = bucket.read_index.shape[0]
-        # never pad a small bucket up to the full batch size: cap by the
-        # bucket's own row count rounded to a pow2 size class (keeps the
-        # compiled-shape set small without inflating tiny workloads)
-        rows = min(rows, max(8, 1 << (max(n_rows_total, 1) - 1).bit_length()))
-        # ONE host->device transfer per bucket array (no host-side pad
-        # copies: fresh multi-MB numpy allocations fault pages at ~30 MB/s
-        # on this platform); chunks are device-side slices, and only the
-        # final partial chunk pays a device pad
-        prefix_valid = False
-        if bucket.bases is not None:
-            whole = (jnp.asarray(bucket.bases),)
-            fills = (INVALID,)
-        else:
-            # when every row's validity is a pure prefix (no mid-read N
-            # bases — the common case), per-row lengths replace the
-            # valid-bits plane: a third less host->device traffic
-            set_bits = _POPCNT[bucket.valid_bits].sum(axis=1, dtype=np.int64)
-            prefix_valid = bool(
-                (set_bits == bucket.lengths.astype(np.int64)).all()
-            )
-            if prefix_valid:
-                whole = (jnp.asarray(bucket.packed_bases),)
-                fills = (0,)
-                dev_lengths = jnp.asarray(
-                    bucket.lengths.astype(np.int32)
-                )
-            else:
-                whole = (jnp.asarray(bucket.packed_bases),
-                         jnp.asarray(bucket.valid_bits))
-                fills = (0, 0)
-        for start in range(0, n_rows_total, rows):
-            idx = _pad_chunk(
-                bucket.read_index[start : start + rows].reshape(-1, 1), rows, -1
-            ).ravel()
-            end = min(start + rows, n_rows_total)
-            parts = []
-            for arr, fill in zip(whole, fills):
-                sl = jax.lax.slice_in_dim(arr, start, end, axis=0)
-                if end - start < rows:
-                    pad = jnp.full(
-                        (rows - (end - start), arr.shape[1]), fill, arr.dtype
-                    )
-                    sl = jnp.concatenate([sl, pad])
-                parts.append(sl)
-            if bucket.bases is not None:
-                out.append((parts[0], idx))
-            elif prefix_valid:
-                lsl = jax.lax.slice_in_dim(dev_lengths, start, end, axis=0)
-                if end - start < rows:
-                    lsl = jnp.concatenate(
-                        [lsl, jnp.zeros((rows - (end - start),), jnp.int32)]
-                    )
-                out.append((unpack_bases_len(parts[0], lsl, length), idx))
-            else:
-                # bit-packed upload (~3.6x less host->device traffic),
-                # unpacked on device; zero-padding rows decode as invalid
-                out.append((unpack_bases(parts[0], parts[1], length), idx))
-    _t = _tlog("device_chunks queue", _t)
-    if _TIMING:
-        jax.block_until_ready([d for d, _ in out])
-        _tlog("device_chunks block", _t)
-    return out
-
-
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _scatter_embeddings(buf, t_fwd, t_rev, e_fwd, e_rev):
-    """Scatter a chunk's fwd/rev embedding rows into the device-resident
-    (2R+1, d) buffer (row 2R is the garbage slot for padding reads)."""
-    buf = buf.at[t_fwd].set(e_fwd)
-    return buf.at[t_rev].set(e_rev)
-
-
-def _stage_all_candidates(device_chunks, config: PipelineConfig):
-    """Run the shared candidate-extraction stage (canonical windows +
-    sampling hash + per-read compaction) ONCE per chunk; both the count and
-    the embed stages consume the result. Returns [(staged_triple, idx)]."""
-    from fedrann_tpu.kmers.membership import stage_candidates
 
     # an imported reference library was NOT sampled by our hash, so the
     # hash prefilter would silently discard its true hits — stage every
@@ -196,24 +146,62 @@ def _stage_all_candidates(device_chunks, config: PipelineConfig):
     threshold = jnp.uint32(
         min(int(config.kmer_sample_fraction * 2.0**32), 2**32 - 1)
     )
-    import time as _time
 
     _t = _time.perf_counter()
     out = []
-    for dev_bases, idx in device_chunks:
-        w = dev_bases.shape[1] - config.kmer_size + 1
+    for bucket in packed.buckets:
+        length = bucket.length or (
+            bucket.bases.shape[1] if bucket.bases is not None else 0
+        )
+        rows = max(8, (config.window_batch // length) // 8 * 8)
+        if config.chunk_size:
+            rows = max(8, min(rows, config.chunk_size // 8 * 8 or 8))
+        n_rows_total = bucket.read_index.shape[0]
+        # never pad a small bucket up to the full batch size: cap by the
+        # bucket's own row count rounded to a pow2 size class (keeps the
+        # compiled-shape set small without inflating tiny workloads)
+        rows = min(rows, max(8, 1 << (max(n_rows_total, 1) - 1).bit_length()))
+        prefix_valid = False
+        if bucket.bases is not None:
+            mode = "bases"
+            arrs = (_pad_rows_device(jnp.asarray(bucket.bases), rows, INVALID),)
+        else:
+            # when every row's validity is a pure prefix (no mid-read N
+            # bases — the common case), per-row lengths replace the
+            # valid-bits plane: a third less host->device traffic
+            set_bits = _POPCNT[bucket.valid_bits].sum(axis=1, dtype=np.int64)
+            prefix_valid = bool(
+                (set_bits == bucket.lengths.astype(np.int64)).all()
+            )
+            if prefix_valid:
+                mode = "len"
+                arrs = (
+                    _pad_rows_device(jnp.asarray(bucket.packed_bases), rows, 0),
+                    _pad_rows_device(
+                        jnp.asarray(bucket.lengths.astype(np.int32)), rows, 0
+                    ),
+                )
+            else:
+                mode = "bits"
+                arrs = (
+                    _pad_rows_device(jnp.asarray(bucket.packed_bases), rows, 0),
+                    _pad_rows_device(jnp.asarray(bucket.valid_bits), rows, 0),
+                )
+        w = length - config.kmer_size + 1
         # mean + 6 sigma candidate slack (membership.staging_width);
         # overflow is detected and warned
-        from fedrann_tpu.kmers.membership import staging_width
-
         hit_buffer = w if keep_all else staging_width(
             w, config.kmer_sample_fraction
         )
-        staged = stage_candidates(
-            dev_bases, config.kmer_size, hit_buffer, keep_all,
-            seed32, threshold,
-        )
-        out.append((staged, idx))
+        for start in range(0, n_rows_total, rows):
+            idx = _pad_chunk(
+                bucket.read_index[start : start + rows].reshape(-1, 1), rows, -1
+            ).ravel()
+            staged = _stage_chunk_fused(
+                arrs, start, rows, length, mode, config.kmer_size,
+                hit_buffer, keep_all, seed32, threshold,
+            )
+            out.append((staged, idx))
     _t = _tlog("stage queue", _t)
     # ONE device round-trip for the overflow total (a per-chunk int() costs
     # a full tunnel RTT each on remote hosts)
@@ -228,6 +216,35 @@ def _stage_all_candidates(device_chunks, config: PipelineConfig):
             "(raise window_batch slack)", overflow,
         )
     return out
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_embeddings(buf, t_fwd, t_rev, e_fwd, e_rev):
+    """Scatter a chunk's fwd/rev embedding rows into the device-resident
+    (2R+1, d) buffer (row 2R is the garbage slot for padding reads)."""
+    buf = buf.at[t_fwd].set(e_fwd)
+    return buf.at[t_rev].set(e_rev)
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("k", "bits", "steps", "packed", "lib_size"),
+)
+def _embed_chunk_fused(buf, planes, lib_words, table, p_ext, t_fwd, t_rev,
+                       k, bits, steps, packed, lib_size):
+    """ONE device program per chunk for the embed stage: membership lookup
+    -> paired fwd/rev embedding -> scatter into the donated (2R+1, d)
+    buffer. The old 3-launch chain paid per-launch tunnel latency each and
+    held the (rows, W) hit matrix in HBM between programs; here it is a
+    jit-internal temp. Chunks containing chunk-split read segments use the
+    unfused path (their hit rows must reach the host for the exact union)."""
+    from fedrann_tpu.kmers.membership import _read_hits_staged
+
+    hits, _ = _read_hits_staged(planes, lib_words, table, k, bits, steps,
+                                packed)
+    e_fwd, e_rev = embed_hits_pair_mirror(hits, p_ext, lib_size)
+    buf = buf.at[t_fwd].set(e_fwd)
+    return buf.at[t_rev].set(e_rev)
 
 
 def compute_embeddings(
@@ -265,15 +282,28 @@ def compute_embeddings(
 
     for ci in range(len(staged_chunks)):
         staged, idx = staged_chunks[ci]
-        hits, _, dropped = read_hits_staged(
-            staged, lib_index, config.kmer_size, config.max_hits_per_read
-        )
+        planes, pre_dropped = staged
         # embed is the LAST consumer of the staged buffers: free each
         # chunk as it is consumed (1.5 GB across the chr1 rung's 176
         # chunks — HBM headroom there is tight)
         staged_chunks[ci] = None
         garbage = 2 * n_reads
         keep = idx >= 0
+        has_split = bool(split_ids) and any(int(i) in split_ids for i in idx)
+        if not has_split and library.size > 0:
+            t_fwd = jnp.asarray(np.where(keep, 2 * idx, garbage))
+            t_rev = jnp.asarray(np.where(keep, 2 * idx + 1, garbage))
+            buf = _embed_chunk_fused(
+                buf, planes, lib_index.words, lib_index.table, p_ext,
+                t_fwd, t_rev, config.kmer_size, lib_index.bits,
+                lib_index.steps, lib_index.packed, library.size,
+            )
+            dropped_parts.append(jnp.sum(pre_dropped))
+            continue
+        hits, _, dropped = read_hits_staged(
+            (planes, pre_dropped), lib_index, config.kmer_size,
+            config.max_hits_per_read,
+        )
         if split_ids:
             is_split = np.asarray([int(i) in split_ids for i in idx])
             seg = keep & is_split
@@ -397,12 +427,7 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
         def get_staged():
             if not _staged_cache:
                 with metrics.stage("stage"):
-                    device_chunks = _device_chunks(
-                        packed, config.window_batch, config.chunk_size
-                    )
-                    _staged_cache.append(
-                        _stage_all_candidates(device_chunks, config)
-                    )
+                    _staged_cache.append(_stage_chunks(packed, config))
             return _staged_cache[0]
 
         with metrics.stage("count"):
@@ -652,9 +677,7 @@ def _load_or_build_library(
     # staged sampled candidates stay on device; the sampled library is the
     # only k-mer artifact that ever reaches the host
     if get_staged is None:
-        staged_chunks = _stage_all_candidates(
-            _device_chunks(packed, config.window_batch), config
-        )
+        staged_chunks = _stage_chunks(packed, config)
     else:
         staged_chunks = get_staged()
     from fedrann_tpu.kmers.membership import staged_codes
