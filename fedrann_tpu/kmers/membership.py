@@ -225,9 +225,11 @@ def staging_width(w: int, fraction: float) -> int:
     return min(w, max(512, -(-width // 512) * 512))
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
 def staged_codes(planes: tuple, k: int) -> tuple:
     """Canonical code word planes (strand stripped) of a staged buffer —
-    the device library build consumes these (duplicates included)."""
+    the device library build consumes these (duplicates included). Jitted:
+    the eager form dispatched ~5 per-op launches per chunk."""
     canon, _ = unpack_strand(planes, k)
     return canon
 
