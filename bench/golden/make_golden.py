@@ -57,8 +57,10 @@ numba.njit = lambda *a, **k: (a[0] if a and callable(a[0]) else (lambda f: f))
 sys.modules.setdefault("numba", numba)
 sys.path.insert(0, REF)
 
-K = 15
-SAMPLE_FRACTION = 0.15
+# GOLDEN_K=21 exercises the reference's uint64 two-word-code path against
+# our k>16 codec (generate into a separate outdir, e.g. data_k21)
+K = int(os.environ.get("GOLDEN_K", "15"))
+SAMPLE_FRACTION = float(os.environ.get("GOLDEN_SAMPLE", "0.15"))
 MIN_MULT = 2
 D = 256
 N_NEIGHBORS = 20
@@ -181,6 +183,16 @@ def main() -> None:
         for n in names:
             f.write(n + "\n")
     shutil.rmtree(tmp)
+    # gzip the reads (what the parity test feeds the CLI) + record config
+    import gzip as gz
+    import json
+    with open(reads_fasta, "rb") as fin, \
+            gz.open(reads_fasta + ".gz", "wb") as fout:
+        fout.write(fin.read())
+    os.remove(reads_fasta)
+    with open(os.path.join(outdir, "meta.json"), "w") as f:
+        json.dump({"k": K, "sample_fraction": SAMPLE_FRACTION,
+                   "n_neighbors": N_NEIGHBORS, "seed": SEED, "dim": D}, f)
     print(f"[golden] wrote artifacts to {outdir}", flush=True)
 
 

@@ -17,44 +17,62 @@ fidelity from sampling differences."""
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 
 import numpy as np
 import pytest
 
-DATA = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    "bench", "golden", "data")
-
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(os.path.join(DATA, "overlaps_ref.tsv")),
-    reason="golden artifacts not generated",
-)
+GOLDEN = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      "bench", "golden")
+# "data" = k=15 single-word codes; "data_k21" = the reference's uint64
+# two-word-code path vs our k>16 codec
+DATASETS = ["data", "data_k21"]
 
 
-@pytest.fixture(scope="module")
-def golden_run():
+def _data_dir(name):
+    return os.path.join(GOLDEN, name)
+
+
+@pytest.fixture(scope="module", params=[
+    pytest.param(
+        name,
+        marks=pytest.mark.skipif(
+            not os.path.exists(os.path.join(GOLDEN, name, "overlaps_ref.tsv")),
+            reason=f"golden artifacts {name} not generated",
+        ),
+    )
+    for name in DATASETS
+])
+def golden_run(request):
     from fedrann_tpu.cli import config_from_args
     from fedrann_tpu.pipeline import run_pipeline
 
+    data = _data_dir(request.param)
+    meta_path = os.path.join(data, "meta.json")
+    k = 15
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            k = int(json.load(f)["k"])
     out = tempfile.mkdtemp()
     config = config_from_args([
-        "-i", os.path.join(DATA, "reads.fasta.gz"),
-        "-o", out, "-k", "15",
-        "--import-library", os.path.join(DATA, "fwd_kmer_library.fasta"),
-        "--import-projection", os.path.join(DATA, "precompute.npz"),
+        "-i", os.path.join(data, "reads.fasta.gz"),
+        "-o", out, "-k", str(k),
+        "--import-library", os.path.join(data, "fwd_kmer_library.fasta"),
+        "--import-projection", os.path.join(data, "precompute.npz"),
         "--nndescent-n-neighbors", "20",
         "--seed", "20260817",
     ])
     result = run_pipeline(config)
-    return result, out
+    return result, out, data
 
 
 def test_neighbor_recall_vs_reference_output(golden_run):
     from fedrann_tpu.eval import OverlapTable, neighbor_recall
 
-    _, out = golden_run
-    ref = OverlapTable.read(os.path.join(DATA, "overlaps_ref.tsv"))
+    _, out, data = golden_run
+    ref = OverlapTable.read(os.path.join(data, "overlaps_ref.tsv"))
     ours = OverlapTable.read(os.path.join(out, "overlaps.tsv"))
     rep = neighbor_recall(ref, ours, k=20)
     assert rep.query_coverage == 1.0
@@ -65,9 +83,9 @@ def test_neighbor_recall_vs_reference_output(golden_run):
 def test_embeddings_match_reference(golden_run):
     """Row-matched (by read name + strand) cosine similarity between our
     embeddings and the reference feature_extraction output is ~1."""
-    result, _ = golden_run
-    ref_emb = np.load(os.path.join(DATA, "ref_embeddings.npy"))
-    with open(os.path.join(DATA, "ref_row_names.txt")) as f:
+    result, _, data = golden_run
+    ref_emb = np.load(os.path.join(data, "ref_embeddings.npy"))
+    with open(os.path.join(data, "ref_row_names.txt")) as f:
         ref_names = [ln.rstrip("\n") for ln in f]
     # reference rows: (record r fwd, record r rev) in output.bin record
     # order; ref_names is the per-ROW name list (each name twice)
