@@ -174,3 +174,26 @@ def test_embeddings_checkpoint_resume(sim_input, tmp_path):
     r3 = run_pipeline(config_from_args(args3))
     assert not np.allclose(np.asarray(r1.embeddings),
                            np.asarray(r3.embeddings))
+
+
+def test_chunk_size_invariance(tmp_path):
+    """--chunk-size (reads per device chunk) must not change results: the
+    fused dynamic-slice staging path with many chunks and a partial tail
+    chunk produces byte-identical output to the single-chunk run."""
+    from fedrann_tpu.cli import main
+    from fedrann_tpu.sim import simulate_reads, write_fasta
+
+    sim = simulate_reads(genome_length=15000, coverage=5,
+                         mean_read_length=1200, error_rate=0.02, seed=11)
+    fasta = str(tmp_path / "reads.fasta")
+    write_fasta(fasta, sim.names, sim.sequences)
+    outs = []
+    for tag, extra in (("whole", []), ("chunked", ["--chunk-size", "16"])):
+        out = str(tmp_path / tag)
+        rc = main(["-i", fasta, "-o", out, "-k", "13",
+                   "--kmer-sample-fraction", "0.3",
+                   "--nndescent-n-neighbors", "8", "--seed", "9",
+                   "--no-pack-cache"] + extra)
+        assert rc == 0
+        outs.append(open(os.path.join(out, "overlaps.tsv")).read())
+    assert outs[0] == outs[1]
