@@ -110,3 +110,33 @@ def truth_recall(result_indices: np.ndarray, truth_pairs, n_reads: int) -> float
             neigh[q].add(int(t) // 2)
     found = sum(1 for a, b in truth_pairs if b in neigh[a] or a in neigh[b])
     return found / max(1, len(truth_pairs))
+
+
+def main(argv=None) -> int:
+    """CLI: compare two overlaps.tsv tables.
+
+    python -m fedrann_tpu.eval reference.tsv ours.tsv [-k K]
+    Prints the recall@k / coverage / distance-MAE line and exits 0 when
+    both tables parsed (the caller judges thresholds). The reference has
+    no such tool; parity runs against it needed one (SURVEY.md §4 golden
+    comparison)."""
+    import argparse
+    import sys
+
+    p = argparse.ArgumentParser(
+        prog="fedrann-tpu-eval",
+        description="Neighbor-recall@k between two overlaps.tsv tables",
+    )
+    p.add_argument("reference", help="baseline overlaps.tsv")
+    p.add_argument("candidate", help="overlaps.tsv to score")
+    p.add_argument("-k", type=int, default=None,
+                   help="truncate neighbor lists to k (default: full)")
+    args = p.parse_args(argv)
+    ref = OverlapTable.read(args.reference)
+    got = OverlapTable.read(args.candidate)
+    print(neighbor_recall(ref, got, k=args.k), file=sys.stdout)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -202,3 +202,16 @@ def test_import_library_not_hash_sampled_still_hits(tmp_path):
     assert np.allclose(np.asarray(result.embeddings), emb_o,
                        rtol=1e-4, atol=1e-4)
     assert np.abs(np.asarray(result.embeddings)).sum() > 0
+
+
+def test_eval_cli(tmp_path, capsys):
+    from fedrann_tpu.eval import main
+
+    t = tmp_path / "a.tsv"
+    header = ("query_name\tquery_orientation\ttarget_name\t"
+              "target_orientation\tneighbor_rank\tdistance\n")
+    t.write_text(header + "r0\t+\tr1\t+\t1\t0.25\n")
+    rc = main([str(t), str(t)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "recall@k=1.0000" in out
