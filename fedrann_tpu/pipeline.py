@@ -509,6 +509,12 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                               "w") as f:
                         json.dump(_embed_fingerprint(config, packed, library), f)
 
+        # embed was the last consumer of the projection table: release it
+        # before the k-NN allocates its normalized copy (at the chr1 rung
+        # p_ext is 4.6 GB bf16 and HBM headroom decides whether the rung
+        # fits at all)
+        del p_ext
+
         with metrics.stage("knn"):
             n_dev = len(jax.devices())
             use_mesh = (config.knn_sharded == "always"
