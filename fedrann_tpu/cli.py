@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "approx_max_k at 0.99 per-block recall).")
     p.add_argument("--knn-shard-strategy", choices=("allgather", "ring", "ring2d"),
                    default="ring", help="Candidate movement across chips.")
+    p.add_argument("--projection-dtype", choices=("bf16", "f32"),
+                   default="bf16",
+                   help="Projection-table storage dtype (accumulation is "
+                        "always f32).")
     p.add_argument("--knn-transfer", choices=("u16", "f32"), default="u16",
                    help="Distance wire format for the device->host copy "
                         "(u16 halves the payload; ~3e-5 max rounding).")
@@ -126,6 +130,7 @@ def config_from_args(argv: list[str] | None = None) -> PipelineConfig:
         knn_topk_method=args.knn_topk_method,
         knn_shard_strategy=args.knn_shard_strategy,
         knn_transfer=args.knn_transfer,
+        projection_dtype=args.projection_dtype,
         length_buckets=tuple(int(x) for x in args.length_buckets.split(",")),
         import_library=args.import_library,
         import_projection=args.import_projection,

@@ -472,22 +472,20 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                 logger.info("imported reference projection %s %s",
                             config.import_projection, p_ext.shape)
             else:
-                # chr1-scale libraries: a full f32 projection (9.2 GB at
-                # 2.26M k-mers) plus embed workspace exhausts the 16 GB
-                # chip. bf16 storage (f32 accumulation in the embed
-                # gathers) costs ~0.4% relative table rounding — well
-                # inside the recall/distance tolerances — and halves the
-                # resident table; the cast happens chunk-by-chunk inside
-                # build_precompute so the f32 table never exists whole.
-                f32_bytes = (library.n_features + 1) * 4 * (
-                    config.embedding_dimension
-                )
-                p_dtype = jnp.bfloat16 if f32_bytes > (2 << 30) else jnp.float32
-                if p_dtype is jnp.bfloat16:
-                    logger.info(
-                        "projection table would be %.1f GB f32; building bf16",
-                        f32_bytes / 2**30,
-                    )
+                # bf16 projection storage, f32 accumulation in the embed
+                # gathers. Originally a chr1-scale HBM fix (a full f32
+                # table is 9.2 GB at 2.26M k-mers and exhausts the 16 GB
+                # chip), now the default everywhere: the embed stage is
+                # bound by the table-row gather traffic, which bf16
+                # halves. Table rounding is ~0.4% relative per entry and
+                # averages out over the hundreds of rows each read sums —
+                # golden parity (embedding cosine > 0.999, distance MAE
+                # < 5e-3) holds, CI-enforced. --projection-dtype f32
+                # restores exact storage; the cast happens chunk-by-chunk
+                # inside build_precompute so the f32 table never exists
+                # whole.
+                p_dtype = (jnp.float32 if config.projection_dtype == "f32"
+                           else jnp.bfloat16)
                 p_ext = build_precompute(
                     jnp.asarray(library.counts),
                     config.embedding_dimension,

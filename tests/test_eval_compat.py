@@ -195,6 +195,7 @@ def test_import_library_not_hash_sampled_still_hits(tmp_path):
         "--kmer-sample-fraction", "0.3", "--seed", "7",
         "--nndescent-n-neighbors", "5", "--import-library", str(lib_fa),
         "--length-buckets", "2048", "--knn-query-tile", "64", "-n", "64",
+        "--projection-dtype", "f32",  # fp-exact vs the oracle
     ])
     result = run_pipeline(config)
     rows = oracle.feature_rows(sim.sequences, k, lib)

@@ -58,9 +58,13 @@ def test_cli_end_to_end(sim_input, tmp_path):
 
 
 def test_device_matches_oracle_end_to_end(sim_input, tmp_path):
-    """Embeddings and neighbor structure must match the numpy oracle."""
+    """Embeddings and neighbor structure must match the numpy oracle
+    (--projection-dtype f32: the fp-exact storage path; the bf16 default
+    trades ~0.3% table rounding for halved gather traffic and is covered
+    by test_projection_bf16_default below + golden parity)."""
     sim, path = sim_input
-    config = config_from_args(["-i", path, "-o", str(tmp_path / "o"), *BASE_ARGS])
+    config = config_from_args(["-i", path, "-o", str(tmp_path / "o"),
+                               "--projection-dtype", "f32", *BASE_ARGS])
     result = run_pipeline(config)
 
     lib_o, emb_o, idx_o, dist_o = oracle.run_oracle_pipeline(
@@ -139,6 +143,7 @@ def test_pipeline_k21_two_word_path(tmp_path):
     wf(path, sim.names, sim.sequences)
     config = config_from_args([
         "-i", path, "-o", str(tmp_path / "o21"), "-k", "21",
+        "--projection-dtype", "f32",
         "--kmer-sample-fraction", "0.3", "--kmer-min-multiplicity", "2",
         "-n", "128", "--nndescent-n-neighbors", "10", "--seed", "5",
         "--length-buckets", "4096", "--knn-query-tile", "64",
@@ -197,3 +202,28 @@ def test_chunk_size_invariance(tmp_path):
         assert rc == 0
         outs.append(open(os.path.join(out, "overlaps.tsv")).read())
     assert outs[0] == outs[1]
+
+
+def test_projection_bf16_default(sim_input, tmp_path):
+    """The bf16-storage default must stay within loose tolerance of the
+    exact-f32 run: embedding cosine ~1 and the same neighbor sets."""
+    _, path = sim_input
+    results = {}
+    for dtype in ("f32", "bf16"):
+        config = config_from_args([
+            "-i", path, "-o", str(tmp_path / dtype),
+            "--projection-dtype", dtype, "--no-pack-cache", *BASE_ARGS])
+        results[dtype] = run_pipeline(config)
+    a = np.asarray(results["f32"].embeddings)
+    b = np.asarray(results["bf16"].embeddings)
+    na = np.linalg.norm(a, axis=1)
+    nb = np.linalg.norm(b, axis=1)
+    nz = (na > 0) & (nb > 0)
+    cos = np.sum(a[nz] * b[nz], axis=1) / (na[nz] * nb[nz])
+    assert cos.min() > 0.9999, cos.min()
+    agree = np.mean([
+        len(set(x) & set(y)) / len(x)
+        for x, y in zip(results["f32"].neighbor_indices,
+                        results["bf16"].neighbor_indices)
+    ])
+    assert agree > 0.95, agree

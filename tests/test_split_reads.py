@@ -70,6 +70,7 @@ def test_split_read_matches_oracle_end_to_end(long_read_input, tmp_path):
         "--kmer-sample-fraction", "0.2", "--kmer-min-multiplicity", "2",
         "-n", "128", "--nndescent-n-neighbors", "10", "--seed", "602",
         "--length-buckets", BUCKETS,
+        "--projection-dtype", "f32",  # fp-exact vs the oracle
     ])
     result = run_pipeline(config)
 
