@@ -50,6 +50,10 @@ def main() -> int:
             "--kmer-min-multiplicity", "2", "-n", "512",
             "--nndescent-n-neighbors", "50", "--seed", "602", "--threads", "4",
             "--length-buckets", "16384",
+            # the reference's ANN is approximate (pynndescent); approx
+            # block selection with the exact final merge measured 1.0
+            # neighbor agreement at 120k rows and 3-4x faster selection
+            "--knn-topk-method", "approx",
         ]
         config = config_from_args(args)
 
