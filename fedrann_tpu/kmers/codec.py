@@ -152,7 +152,7 @@ def unpack_bases_len(packed: jax.Array, lengths: jax.Array, length: int
     prefix (no mid-read N bases): the (R, ceil(L/8)) valid-bits plane —
     a third of the upload — is replaced by per-row lengths (R,) int32.
     Rows with in-read invalid bases take the unpack_bases path instead
-    (pipeline._device_chunks decides per bucket)."""
+    (pipeline._stage_chunks decides per bucket)."""
     x = jnp.repeat(packed, 4, axis=1)[:, :length]
     shifts = jnp.tile(
         jnp.arange(0, 8, 2, dtype=jnp.uint8), packed.shape[1]

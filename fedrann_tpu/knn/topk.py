@@ -26,9 +26,10 @@ import numpy as np
 # Cosine distances live in [0, 2]; snapping them to a uint16 grid before
 # the device->host copy halves the distance payload (device->host runs at
 # ~20 MB/s on tunneled hosts — docs/TPU_PLATFORM_NOTES.md) for a max
-# rounding error of 1/(2*16383.5) ~ 3.1e-5, far inside every distance
+# rounding error of 1/(2*32767.5) ~ 1.5e-5, far inside every distance
 # tolerance in the output contract (golden-parity MAE threshold 5e-3).
-DIST_SCALE = 16383.5
+# 2.0 maps to 65535, so the clip only fires on sub-ulp bf16 overshoot.
+DIST_SCALE = 32767.5
 
 
 @jax.jit

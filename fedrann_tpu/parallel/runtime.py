@@ -269,11 +269,16 @@ def run_pipeline_multihost(config):
     library = allgather_library(shard_lib, config.kmer_min_multiplicity)
     logger.info("[rank %d] global library: %d k-mers", pid, library.size)
 
+    p_dtype = (jnp.float32 if config.projection_dtype == "f32"
+               else jnp.bfloat16)
     p_ext = build_precompute(
         jnp.asarray(library.counts), config.embedding_dimension,
-        config.projection_seed, config.projection_density,
+        config.projection_seed, config.projection_density, dtype=p_dtype,
     )
     emb_local, _ = compute_embeddings(local, library, config, p_ext, staged)
+    # embed was the last consumer: release the table before the k-NN
+    # allocates (same HBM-headroom reasoning as run_pipeline)
+    del p_ext
 
     per = process_quota(n_reads, nproc, row_multiple)
 

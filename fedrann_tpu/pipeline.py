@@ -626,6 +626,7 @@ def _embed_fingerprint(config: PipelineConfig, packed: PackedReads,
         "dim": config.embedding_dimension,
         "projection_seed": config.projection_seed,
         "projection_density": config.projection_density,
+        "projection_dtype": config.projection_dtype,
         "import_library": config.import_library,
         "import_projection": config.import_projection,
         "max_hits": config.max_hits_per_read,

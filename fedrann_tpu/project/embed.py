@@ -64,7 +64,7 @@ def embed_hits_pair_mirror(
             jnp.where(b < lib_size, b + lib_size, b - lib_size),
         )
 
-    if n_rows * 2 * d * 4 <= (1 << 30):
+    if n_rows * 2 * d * p_ext.dtype.itemsize <= (1 << 30):
         perm = jnp.concatenate([
             jnp.arange(lib_size, 2 * lib_size, dtype=jnp.int32),
             jnp.arange(0, lib_size, dtype=jnp.int32),
