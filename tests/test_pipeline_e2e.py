@@ -227,3 +227,32 @@ def test_projection_bf16_default(sim_input, tmp_path):
                         results["bf16"].neighbor_indices)
     ])
     assert agree > 0.95, agree
+
+
+def test_fastq_gz_input_matches_fasta(tmp_path):
+    """A gzipped FASTQ of the same reads produces the identical overlap
+    table (quality lines are ignored; the reference accepts both formats,
+    fastx_io.py)."""
+    import gzip
+
+    from fedrann_tpu.cli import main
+    from fedrann_tpu.sim import simulate_reads, write_fasta
+
+    sim = simulate_reads(genome_length=15000, coverage=5,
+                         mean_read_length=1200, error_rate=0.02, seed=13)
+    fasta = str(tmp_path / "reads.fasta")
+    write_fasta(fasta, sim.names, sim.sequences)
+    fastq = str(tmp_path / "reads.fastq.gz")
+    with gzip.open(fastq, "wt") as f:
+        for n, s in zip(sim.names, sim.sequences):
+            f.write(f"@{n}\n{s}\n+\n{'I' * len(s)}\n")
+    tables = []
+    for tag, path in (("fa", fasta), ("fq", fastq)):
+        out = str(tmp_path / tag)
+        rc = main(["-i", path, "-o", out, "-k", "13",
+                   "--kmer-sample-fraction", "0.3",
+                   "--nndescent-n-neighbors", "8", "--seed", "9",
+                   "--no-pack-cache"])
+        assert rc == 0
+        tables.append(open(os.path.join(out, "overlaps.tsv")).read())
+    assert tables[0] == tables[1]
