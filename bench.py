@@ -18,12 +18,42 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import tempfile
 import time
 
 
+def probe_backend(timeout_s: float = 120.0) -> tuple[bool, str]:
+    """Check the accelerator backend is reachable before committing to the
+    run. On this platform a dead TPU tunnel makes jax.devices() HANG (never
+    error), so the probe runs in a subprocess under a hard timeout; the
+    driver then gets a parseable skip marker instead of a stack trace
+    (VERDICT r2: BENCH_r02 rc=1 with an unparseable traceback)."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"backend probe hung >{timeout_s:.0f}s (tunnel down)"
+    if out.returncode != 0:
+        tail = (out.stderr or "").strip().splitlines()
+        return False, "backend probe failed: " + (tail[-1] if tail else "?")
+    return True, out.stdout.strip()
+
+
 def main() -> int:
+    ok, detail = probe_backend()
+    if not ok:
+        print(f"[bench] SKIPPED: {detail}", file=sys.stderr)
+        print(json.dumps({
+            "metric": "reads_per_s", "value": 0, "unit": "reads/s",
+            "vs_baseline": 0, "skipped": True, "reason": detail,
+        }))
+        return 0
+    print(f"[bench] backend: {detail}", file=sys.stderr)
     genome = int(os.environ.get("BENCH_GENOME", 5_000_000))
     coverage = float(os.environ.get("BENCH_COVERAGE", 12))
     read_len = int(os.environ.get("BENCH_READ_LEN", 8000))

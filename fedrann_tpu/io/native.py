@@ -97,6 +97,7 @@ def load_native() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float),   # dist (2R, k)
         ctypes.c_uint64,                  # n_rows (2R)
         ctypes.c_uint64,                  # k
+        ctypes.c_uint64,                  # row_offset (global row of row 0)
     ]
     lib.fastx_write_overlaps_matrix.restype = ctypes.c_int64
     _lib = lib
@@ -116,10 +117,14 @@ def _names_blob(names):
 
 
 def write_overlaps_matrix_native(
-    path: str, names, idx: np.ndarray, dist: np.ndarray
+    path: str, names, idx: np.ndarray, dist: np.ndarray,
+    row_offset: int = 0,
 ) -> int:
-    """C writer over the raw (2R, k) neighbor matrices; self rows and
-    negative targets are skipped inside the C loop (no numpy filtering)."""
+    """C writer over the raw (rows, k) neighbor matrices; self rows and
+    negative targets are skipped inside the C loop (no numpy filtering).
+    row_offset maps local matrix row q to global embedding row
+    row_offset+q (multi-host ranks pass their query-range start; names
+    stay globally indexed)."""
     lib = load_native()
     if lib is None:
         raise RuntimeError("native library not built")
@@ -134,7 +139,7 @@ def write_overlaps_matrix_native(
         len(names),
         i32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         d32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        i32.shape[0], i32.shape[1],
+        i32.shape[0], i32.shape[1], row_offset,
     )
     if rc < 0:
         raise RuntimeError(f"fastx_write_overlaps_matrix failed: {rc}")

@@ -26,10 +26,12 @@ def _orientation(row: int) -> str:
     return "+" if row % 2 == 0 else "-"
 
 
-def _filter_rows(indices: np.ndarray, distances: np.ndarray):
-    """Self-row / unset filter shared by both writers."""
+def _filter_rows(indices: np.ndarray, distances: np.ndarray,
+                 row_offset: int = 0):
+    """Self-row / unset filter shared by both writers. row_offset maps
+    local matrix row q to global embedding row row_offset+q."""
     n, k = indices.shape
-    rows = np.arange(n)[:, None]
+    rows = np.arange(row_offset, row_offset + n)[:, None]
     keep = (indices != rows) & (indices >= 0)
     return (
         np.broadcast_to(rows, indices.shape)[keep],
@@ -42,14 +44,18 @@ def _filter_rows(indices: np.ndarray, distances: np.ndarray):
 def write_overlaps_tsv(
     out: IO[str],
     names: Sequence[str],
-    neighbor_indices: np.ndarray,  # (2R, k) int
-    neighbor_distances: np.ndarray,  # (2R, k) float
+    neighbor_indices: np.ndarray,  # (rows, k) int
+    neighbor_distances: np.ndarray,  # (rows, k) float
+    row_offset: int = 0,
 ) -> int:
     """Write the overlap table; returns data rows written. Python loop —
-    the behavioral oracle; write_overlaps_path uses the C fast path."""
+    the behavioral oracle; write_overlaps_path uses the C fast path.
+    row_offset: global embedding row of matrix row 0 (multi-host ranks
+    write only their own query rows; names stay globally indexed)."""
     out.write(HEADER)
     q_rows, t_rows, ranks, dists = _filter_rows(
-        np.asarray(neighbor_indices), np.asarray(neighbor_distances)
+        np.asarray(neighbor_indices), np.asarray(neighbor_distances),
+        row_offset,
     )
     for q, t, r, d in zip(q_rows, t_rows, ranks, dists):
         out.write(
@@ -64,6 +70,7 @@ def write_overlaps_path(
     names: Sequence[str],
     neighbor_indices: np.ndarray,
     neighbor_distances: np.ndarray,
+    row_offset: int = 0,
 ) -> int:
     """Write overlaps.tsv to a path; C writer when the native library is
     built (python writers cost seconds per million rows on throttled
@@ -75,8 +82,8 @@ def write_overlaps_path(
             f.write(HEADER)
         return native_io.write_overlaps_matrix_native(
             path, list(names), np.asarray(neighbor_indices),
-            np.asarray(neighbor_distances),
+            np.asarray(neighbor_distances), row_offset,
         )
     with open(path, "w") as f:
         return write_overlaps_tsv(f, names, neighbor_indices,
-                                  neighbor_distances)
+                                  neighbor_distances, row_offset)

@@ -512,14 +512,16 @@ inline size_t format_row(char* dst, const char* qname, size_t qlen, char qo,
 }
 
 // Overlap writer over the raw neighbor matrices: skips self rows
-// (t == 2R-row index) and negative/unset targets internally, so the host
-// does zero numpy row filtering. Rows are formatted into per-thread
-// memory buffers and fwritten in order.
+// (t == global row index) and negative/unset targets internally, so the
+// host does zero numpy row filtering. Rows are formatted into per-thread
+// memory buffers and fwritten in order. row_offset shifts local matrix row
+// q to global embedding row row_offset+q (multi-host ranks write only
+// their own query rows; names stay globally indexed).
 int64_t fastx_write_overlaps_matrix(const char* path, const char* names,
                                     const uint64_t* name_offsets,
                                     uint64_t n_names, const int32_t* idx,
                                     const float* dist, uint64_t n_rows,
-                                    uint64_t k) {
+                                    uint64_t k, uint64_t row_offset) {
   // name lengths once (strlen per row would rescan)
   std::vector<uint32_t> nlen(n_names);
   size_t max_name = 1;
@@ -528,7 +530,7 @@ int64_t fastx_write_overlaps_matrix(const char* path, const char* names,
     if (nlen[i] > max_name) max_name = nlen[i];
   }
   for (uint64_t q = 0; q < n_rows; ++q) {
-    if ((q >> 1) >= n_names) return -2;
+    if (((row_offset + q) >> 1) >= n_names) return -2;
     for (uint64_t r = 0; r < k; ++r) {
       int32_t t = idx[q * k + r];
       if (t >= 0 && (uint64_t)(t >> 1) >= n_names) return -2;
@@ -552,12 +554,13 @@ int64_t fastx_write_overlaps_matrix(const char* path, const char* names,
       std::vector<char> row(row_cap);
       int64_t written = 0;
       for (uint64_t q = lo; q < hi; ++q) {
-        const char* qname = names + name_offsets[q >> 1];
-        size_t qlen = nlen[q >> 1];
-        char qo = (q & 1) ? '-' : '+';
+        uint64_t g = row_offset + q;  // global embedding row
+        const char* qname = names + name_offsets[g >> 1];
+        size_t qlen = nlen[g >> 1];
+        char qo = (g & 1) ? '-' : '+';
         for (uint64_t r = 0; r < k; ++r) {
           int32_t t = idx[q * k + r];
-          if (t < 0 || (uint64_t)t == q) continue;
+          if (t < 0 || (uint64_t)t == g) continue;
           size_t n = format_row(
               row.data(), qname, qlen, qo, names + name_offsets[t >> 1],
               nlen[t >> 1], (t & 1) ? '-' : '+', r,

@@ -129,6 +129,40 @@ def test_matrix_writer_matches_python(tmp_path):
     assert p.read_text() == buf.getvalue()
 
 
+def test_matrix_writer_row_offset_chunks_concatenate(tmp_path):
+    """Per-rank local-row writes (row_offset = global row of the chunk's
+    first query) concatenated in rank order must reproduce the full-matrix
+    write exactly — the multi-host output contract. Both the C and python
+    writers honor row_offset."""
+    import io as _io
+
+    from fedrann_tpu.io.tsv import HEADER, write_overlaps_path, write_overlaps_tsv
+
+    rng = np.random.default_rng(72)
+    names = [f"rd{i}" for i in range(30)]
+    idx = rng.integers(-1, 60, size=(60, 4)).astype(np.int32)
+    # plant self rows at their GLOBAL positions to exercise the filter
+    idx[np.arange(0, 60, 7), 0] = np.arange(0, 60, 7)
+    dist = rng.random((60, 4)).astype(np.float32)
+
+    full = tmp_path / "full.tsv"
+    write_overlaps_path(str(full), names, idx, dist)
+
+    parts = []
+    total = 0
+    for lo, hi in ((0, 22), (22, 40), (40, 60)):
+        p = tmp_path / f"part{lo}.tsv"
+        total += write_overlaps_path(str(p), names, idx[lo:hi], dist[lo:hi],
+                                     row_offset=lo)
+        parts.append(p.read_text()[len(HEADER):])
+        # python writer agrees chunk-for-chunk
+        buf = _io.StringIO()
+        write_overlaps_tsv(buf, names, idx[lo:hi], dist[lo:hi], row_offset=lo)
+        assert buf.getvalue() == p.read_text()
+    assert HEADER + "".join(parts) == full.read_text()
+    assert total == len(full.read_text().splitlines()) - 1
+
+
 def test_threaded_parse_matches_single(tmp_path):
     sim = simulate_reads(genome_length=40000, coverage=6,
                          mean_read_length=1500, seed=47)
