@@ -652,6 +652,42 @@ def _load_embeddings_checkpoint(config, ckpt_dir, packed, library):
     return jnp.asarray(np.load(npy))
 
 
+def _try_load_library_ckpt(config: PipelineConfig,
+                           ckpt_dir: Optional[str]) -> Optional[KmerLibrary]:
+    """Load the library checkpoint if present with a matching fingerprint.
+    The fingerprint is launch-mode-independent (the multi-host count merge
+    is bit-identical to a single-host build), so single- and multi-host
+    runs can resume each other's library."""
+    if not ckpt_dir:
+        return None
+    path = os.path.join(ckpt_dir, "library.npz")
+    if not os.path.exists(path):
+        return None
+    data = np.load(path)
+    if (int(data["k"]) == config.kmer_size
+            and int(data["seed"]) == config.seed
+            and float(data["fraction"]) == config.kmer_sample_fraction
+            and int(data.get("min_multiplicity", -1))
+            == config.kmer_min_multiplicity
+            and str(data.get("input_id", ""))
+            == json.dumps(_input_identity(config), sort_keys=True)):
+        logger.info("resuming library from %s", path)
+        return KmerLibrary(codes=data["codes"], counts=data["counts"])
+    return None
+
+
+def _save_library_ckpt(config: PipelineConfig, ckpt_dir: str,
+                       library: KmerLibrary) -> None:
+    np.savez(
+        os.path.join(ckpt_dir, "library.npz"),
+        codes=library.codes, counts=library.counts,
+        k=config.kmer_size, seed=config.seed,
+        fraction=config.kmer_sample_fraction,
+        min_multiplicity=config.kmer_min_multiplicity,
+        input_id=json.dumps(_input_identity(config), sort_keys=True),
+    )
+
+
 def _load_or_build_library(
     packed: PackedReads, config: PipelineConfig, ckpt_dir: Optional[str],
     get_staged=None,
@@ -665,19 +701,9 @@ def _load_or_build_library(
         logger.info("imported reference library %s (%d k-mers)",
                     config.import_library, library.size)
         return library
-    if ckpt_dir:
-        path = os.path.join(ckpt_dir, "library.npz")
-        if os.path.exists(path):
-            data = np.load(path)
-            if (int(data["k"]) == config.kmer_size
-                    and int(data["seed"]) == config.seed
-                    and float(data["fraction"]) == config.kmer_sample_fraction
-                    and int(data.get("min_multiplicity", -1))
-                    == config.kmer_min_multiplicity
-                    and str(data.get("input_id", ""))
-                    == json.dumps(_input_identity(config), sort_keys=True)):
-                logger.info("resuming library from %s", path)
-                return KmerLibrary(codes=data["codes"], counts=data["counts"])
+    library = _try_load_library_ckpt(config, ckpt_dir)
+    if library is not None:
+        return library
 
     # staged sampled candidates stay on device; the sampled library is the
     # only k-mer artifact that ever reaches the host
@@ -697,12 +723,5 @@ def _load_or_build_library(
         presampled=config.kmer_sample_fraction < 1.0,
     )
     if ckpt_dir:
-        np.savez(
-            os.path.join(ckpt_dir, "library.npz"),
-            codes=library.codes, counts=library.counts,
-            k=config.kmer_size, seed=config.seed,
-            fraction=config.kmer_sample_fraction,
-            min_multiplicity=config.kmer_min_multiplicity,
-            input_id=json.dumps(_input_identity(config), sort_keys=True),
-        )
+        _save_library_ckpt(config, ckpt_dir, library)
     return library

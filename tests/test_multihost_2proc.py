@@ -42,6 +42,7 @@ sys.exit(main([
     "-k", "13", "--kmer-sample-fraction", "0.2",
     "--kmer-min-multiplicity", "2", "-n", "128",
     "--nndescent-n-neighbors", "10", "--seed", "7",
+    "--length-buckets", "1024,2048",
     "--num-processes", "2", "--process-id", {rank!r},
     "--coordinator", {coord!r},
 ]))
@@ -66,7 +67,11 @@ def test_two_process_matches_single(tmp_path, dcn_knn):
     fasta = str(tmp_path / "reads.fasta")
     write_fasta(fasta, sim.names, sim.sequences)
 
-    # single-process truth (in-process, CPU mesh from conftest)
+    # single-process truth (in-process, CPU mesh from conftest). The
+    # 1024/2048 buckets force several ~1800-3000 bp reads to chunk-split,
+    # so this also covers the multi-host ultra-long-read path (VERDICT r2
+    # item 5: reads longer than the largest bucket were silently truncated
+    # under --num-processes).
     from fedrann_tpu.cli import config_from_args
     from fedrann_tpu.pipeline import run_pipeline
 
@@ -75,8 +80,11 @@ def test_two_process_matches_single(tmp_path, dcn_knn):
         "-i", fasta, "-o", out_single, "-k", "13",
         "--kmer-sample-fraction", "0.2", "--kmer-min-multiplicity", "2",
         "-n", "128", "--nndescent-n-neighbors", "10", "--seed", "7",
+        "--length-buckets", "1024,2048",
     ])
     single = run_pipeline(config)
+    assert any(len(s) > 2048 for s in sim.sequences), \
+        "dataset must contain a read longer than the largest bucket"
 
     # two real processes over a jax.distributed CPU coordinator
     coord = f"127.0.0.1:{_free_port()}"
@@ -99,19 +107,87 @@ def test_two_process_matches_single(tmp_path, dcn_knn):
     for p, o in zip(procs, outs):
         assert p.returncode == 0, o[-3000:]
 
-    # merged rank files == single-process table (neighbor sets + distances)
+    # rank 0 merged the rank tables into ONE overlaps.tsv (and removed the
+    # rank files — keep-intermediates not set); it must match the
+    # single-process table (neighbor sets + distances)
     from fedrann_tpu.eval import OverlapTable, neighbor_recall
 
-    merged = str(tmp_path / "merged.tsv")
-    with open(merged, "w") as f:
-        for rank in range(2):
-            path = os.path.join(out_multi, f"overlaps.rank{rank}.tsv")
-            with open(path) as r:
-                lines = r.readlines()
-            f.writelines(lines if rank == 0 else lines[1:])
+    merged = os.path.join(out_multi, "overlaps.tsv")
+    assert os.path.exists(merged), outs[0][-2000:]
+    for rank in range(2):
+        assert not os.path.exists(
+            os.path.join(out_multi, f"overlaps.rank{rank}.tsv"))
     ref = OverlapTable.read(os.path.join(out_single, "overlaps.tsv"))
     got = OverlapTable.read(merged)
     rep = neighbor_recall(ref, got)
     assert rep.query_coverage == 1.0, rep
     assert rep.recall_at_k > 0.995, rep
     assert rep.distance_mae < 1e-3, rep
+
+    # the operational story runs on this path too: per-rank stage metrics
+    # (observability) exist and cover the full stage set
+    import json
+
+    for rank in range(2):
+        mpath = os.path.join(out_multi, f"metrics.rank{rank}.json")
+        assert os.path.exists(mpath)
+        stages = json.load(open(mpath))
+        for s in ("load", "stage", "count", "project", "embed", "knn",
+                  "output"):
+            assert s in stages, (rank, s, stages.keys())
+
+
+DRIVER_CKPT = DRIVER.replace('"--coordinator", {coord!r},',
+                             '"--coordinator", {coord!r}, '
+                             '"--keep-intermediates",')
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_resume(tmp_path):
+    """Multi-host checkpoint/resume (VERDICT r2 item 7): a second launch
+    over the same output dir resumes the global library and each rank's
+    embeddings from disk (skipping staging entirely) and reproduces the
+    merged table byte-for-byte."""
+    from fedrann_tpu.sim import simulate_reads, write_fasta
+
+    sim = simulate_reads(genome_length=12000, coverage=5,
+                         mean_read_length=1500, error_rate=0.02, seed=11)
+    fasta = str(tmp_path / "reads.fasta")
+    write_fasta(fasta, sim.names, sim.sequences)
+    out = str(tmp_path / "multi")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+
+    def launch():
+        coord = f"127.0.0.1:{_free_port()}"
+        procs = []
+        for rank in range(2):
+            code = DRIVER_CKPT.format(repo=REPO, fasta=fasta, out=out,
+                                      rank=str(rank), coord=coord)
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", code], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            ))
+        outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+        for p, o in zip(procs, outs):
+            assert p.returncode == 0, o[-3000:]
+        return outs
+
+    launch()
+    ckpt = os.path.join(out, "checkpoints")
+    assert os.path.exists(os.path.join(ckpt, "library.npz"))
+    for rank in range(2):
+        assert os.path.exists(
+            os.path.join(ckpt, f"embeddings.rank{rank}.npy"))
+    first = open(os.path.join(out, "overlaps.tsv")).read()
+
+    outs = launch()
+    assert "resuming library" in outs[0] + outs[1]
+    assert "resuming embeddings" in outs[0]
+    assert "resuming embeddings" in outs[1]
+    # a fully-checkpointed resume never stages candidates on device
+    assert "stage stage: start" not in outs[0]
+    assert open(os.path.join(out, "overlaps.tsv")).read() == first
+    # keep-intermediates retains the per-rank tables
+    assert os.path.exists(os.path.join(out, "overlaps.rank0.tsv"))
