@@ -60,8 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "of --seed; exposed here).")
     p.add_argument("--projection-density", type=float, default=None,
                    help="SRP density; default 1/sqrt(n_features).")
-    p.add_argument("--max-hits-per-read", type=int, default=4096,
-                   help="Cap on distinct library hits per read.")
+    p.add_argument("--max-hits-per-read", type=int, default=None,
+                   help="Ceiling on staged candidate hits per read "
+                        "(default: auto staging width); overflow is "
+                        "counted and warned.")
     p.add_argument("--knn-precision", choices=("bf16", "fp32"), default="bf16",
                    help="Distance-matmul precision (fp32 accumulation either way).")
     p.add_argument("--knn-query-tile", type=int, default=1024)

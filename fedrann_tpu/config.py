@@ -51,7 +51,10 @@ class PipelineConfig:
     projection_density: Optional[float] = None
     # Cap on distinct library hits per read; reference sets are unbounded
     # (kmer_searcher.cpp:309). Hits beyond the cap are dropped and logged.
-    max_hits_per_read: int = 4096
+    # ceiling on staged candidate-hit occurrences per read (None = the
+    # auto mean+6-sigma staging width is the only cap); a real knob —
+    # overflow beyond it is counted and warned
+    max_hits_per_read: int | None = None
     # Number of window positions processed per device batch in k-mer stages.
     # 32M windows = 2048 rows at the 16 kb bucket: big batches keep the
     # launch count low (per-launch tunnel latency fluctuates 0.1-60 ms on

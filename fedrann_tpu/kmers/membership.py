@@ -272,8 +272,7 @@ def _read_hits_staged(planes, lib_words, table, k, bits, steps,
     return feat, jnp.sum(found, axis=1).astype(jnp.int32)
 
 
-def read_hits_staged(staged, lib: "LibraryIndex", k: int,
-                     max_hits: int | None = None):
+def read_hits_staged(staged, lib: "LibraryIndex", k: int):
     """Forward-scan feature rows from staged candidates (stage_candidates
     output).
 
@@ -281,8 +280,9 @@ def read_hits_staged(staged, lib: "LibraryIndex", k: int,
     indices with sentinel (2L) holes — sentinel-padded but NOT compacted
     and NOT feature-sorted (downstream consumers are order-insensitive);
     n_hits (R,) real entries; n_dropped (R,) candidate occurrences that
-    overflowed the staging buffer. max_hits is accepted for API
-    compatibility; the staging buffer width is the effective cap."""
+    overflowed the staging buffer. Any per-read hit cap applies at staging
+    time (the buffer width — read_hits' max_hits); by this point the
+    buffer is fixed."""
     planes, pre_dropped = staged
     if lib.words[0].shape[0] == 0:
         r, w = planes[0].shape
@@ -313,6 +313,10 @@ def read_hits(
     with exactly that seed/fraction (fedrann_tpu sampling contract); it is
     an exact optimization in that case and wrong otherwise.
 
+    max_hits caps the staging-buffer width (candidate hit occurrences kept
+    per read); occurrences beyond it are counted in n_dropped. None = no
+    cap beyond the auto staging width.
+
     Returns:
       hits      (R, W_staged) int32, sentinel-padded (2L), unordered
       n_hits    (R,) int32 number of real entries
@@ -324,6 +328,8 @@ def read_hits(
         hit_buffer = w if not prefilter else staging_width(
             w, float(sampling[1])
         )
+    if max_hits is not None:
+        hit_buffer = min(int(hit_buffer), max(1, int(max_hits)))
     hit_buffer = min(w, max(8, -(-int(hit_buffer) // 8) * 8))
     if prefilter:
         seed32 = jnp.uint32(np.uint32(int(sampling[0]) & 0xFFFFFFFF))
@@ -337,7 +343,7 @@ def read_hits(
         bases, k, hit_buffer, not prefilter, seed32, threshold
     )
     if isinstance(lib, LibraryIndex):
-        return read_hits_staged(staged, lib, k, max_hits)
+        return read_hits_staged(staged, lib, k)
     # raw word-plane tuple: plain binary search (test/fallback path)
     planes, pre_dropped = staged
     if lib[0].shape[0] == 0:

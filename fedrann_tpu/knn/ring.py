@@ -27,15 +27,11 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 from fedrann_tpu.knn.topk import (
-    DIST_SCALE,
+    dequantize_dist,
     normalize_rows,
     quantize_dist,
     transfer_idx,
 )
-
-
-def _dequantize(dist_np):
-    return dist_np.astype(np.float32) * np.float32(1.0 / DIST_SCALE)
 from fedrann_tpu.parallel.mesh import (
     DATA_AXIS,
     HOST_AXIS,
@@ -284,7 +280,7 @@ def knn_exact_sharded_multihost(
     n_mine = emb_local.shape[0]
     dist_np = _local_rows(dist)[:n_mine]
     if transfer == "u16":
-        dist_np = _dequantize(dist_np)
+        dist_np = dequantize_dist(dist_np)
     return _local_rows(idx)[:n_mine], dist_np
 
 
@@ -331,5 +327,5 @@ def knn_exact_sharded(
     dist, idx = run(sharded)
     dist_np = np.asarray(dist)[:n]
     if transfer == "u16":
-        dist_np = _dequantize(dist_np)
+        dist_np = dequantize_dist(dist_np)
     return transfer_idx(idx, transfer, n)[:n], dist_np

@@ -38,12 +38,18 @@ def quantize_dist(dist: jax.Array) -> jax.Array:
     return jnp.clip(q, 0, 65535).astype(jnp.uint16)
 
 
+def dequantize_dist(dist_np: np.ndarray) -> np.ndarray:
+    """Host-side inverse of quantize_dist (grid step 1/DIST_SCALE ~ 3.1e-5,
+    max rounding error half that, ~1.5e-5). The single home of the
+    1/DIST_SCALE factor (ADVICE r2: it was duplicated in knn/ring.py)."""
+    return dist_np.astype(np.float32) * np.float32(1.0 / DIST_SCALE)
+
+
 def transfer_dist(dist_dev: jax.Array, transfer: str) -> np.ndarray:
     """Device->host copy of a distance matrix, optionally through the
     uint16 wire format."""
     if transfer == "u16":
-        return np.asarray(quantize_dist(dist_dev)).astype(np.float32) \
-            * np.float32(1.0 / DIST_SCALE)
+        return dequantize_dist(np.asarray(quantize_dist(dist_dev)))
     return np.asarray(dist_dev)
 
 

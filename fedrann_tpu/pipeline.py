@@ -189,10 +189,15 @@ def _stage_chunks(packed: PackedReads, config: PipelineConfig):
                 )
         w = length - config.kmer_size + 1
         # mean + 6 sigma candidate slack (membership.staging_width);
-        # overflow is detected and warned
+        # overflow is detected and warned. --max-hits-per-read (None =
+        # uncapped) is a REAL ceiling on the staged width: it trades
+        # dropped hits for staging memory on highly repetitive reads.
         hit_buffer = w if keep_all else staging_width(
             w, config.kmer_sample_fraction
         )
+        if config.max_hits_per_read is not None:
+            hit_buffer = min(hit_buffer,
+                             max(8, -(-config.max_hits_per_read // 8) * 8))
         for start in range(0, n_rows_total, rows):
             idx = _pad_chunk(
                 bucket.read_index[start : start + rows].reshape(-1, 1), rows, -1
@@ -302,7 +307,6 @@ def compute_embeddings(
             continue
         hits, _, dropped = read_hits_staged(
             (planes, pre_dropped), lib_index, config.kmer_size,
-            config.max_hits_per_read,
         )
         if split_ids:
             is_split = np.asarray([int(i) in split_ids for i in idx])
@@ -347,9 +351,14 @@ def compute_embeddings(
         if dropped_parts else 0
     _t = _tlog("embed sync", _t)
     if total_dropped:
+        hint = ("raise --max-hits-per-read"
+                if config.max_hits_per_read is not None
+                else "the reads are repetitive beyond the mean+6-sigma "
+                     "staging slack; lower --kmer-sample-fraction or raise "
+                     "window_batch")
         logger.warning(
-            "max_hits_per_read=%d dropped %d distinct hits; raise the cap "
-            "for full parity", config.max_hits_per_read, total_dropped,
+            "staging buffer overflowed: %d hit occurrences dropped before "
+            "membership (%s)", total_dropped, hint,
         )
     return buf[: 2 * n_reads], total_dropped
 

@@ -143,8 +143,8 @@ def test_read_hits_match_oracle(k):
 
 
 def test_read_hits_buffer_drops_and_reports():
-    """An undersized staging buffer must REPORT drops (the buffer is the
-    effective cap; max_hits is advisory)."""
+    """An undersized staging buffer must REPORT drops (max_hits caps the
+    staging-buffer width; occurrences beyond it count as dropped)."""
     sim = simulate_reads(genome_length=4000, coverage=3, mean_read_length=600, seed=6)
     k = 9
     lib = _mk_library(sim, k, frac=1.0, min_mult=1)
@@ -367,7 +367,7 @@ def test_staged_candidates_path_matches_classic(k):
     seed32 = jnp.uint32(seed)
     thr = jnp.uint32(int(frac * 2**32))
     staged = stage_candidates(bases, k, 1024, False, seed32, thr)
-    got = read_hits_staged(staged, index, k, 1024)
+    got = read_hits_staged(staged, index, k)
     assert np.array_equal(np.asarray(classic[0]), np.asarray(got[0]))
     assert np.array_equal(np.asarray(classic[1]), np.asarray(got[1]))
 
