@@ -387,7 +387,7 @@ def run_pipeline_multihost(config):
         def get_staged():
             if not _staged_cache:
                 with metrics.stage("stage"):
-                    _staged_cache.append(_stage_chunks(local, config))
+                    _staged_cache.append(_stage_chunks(local, config, metrics))
             return _staged_cache[0]
 
         with metrics.stage("count"):
@@ -454,7 +454,7 @@ def run_pipeline_multihost(config):
                         emb_local = jnp.asarray(np.load(emb_npy))
             if emb_local is None:
                 emb_local, _ = compute_embeddings(
-                    local, library, config, p_ext, get_staged()
+                    local, library, config, p_ext, get_staged(), metrics
                 )
                 if emb_npy:
                     np.save(emb_npy, np.asarray(emb_local))
@@ -508,6 +508,15 @@ def run_pipeline_multihost(config):
                     strategy=dcn_strategy, precision=config.knn_precision,
                     transfer=config.knn_transfer,
                 )
+            # this rank's share of the exact all-vs-all distance work:
+            # local query rows x global candidate rows (roofline accounting
+            # for metrics.rank<pid>.json)
+            metrics.add_work(
+                "knn",
+                flops=(2.0 * emb_local.shape[0] * (2 * n_reads)
+                       * emb_local.shape[1]),
+                d2h_bytes=float(idx.shape[0] * idx.shape[1] * 8),
+            )
 
         with metrics.stage("output"):
             if out_dir:

@@ -121,13 +121,15 @@ def _pad_rows_device(arr: jax.Array, multiple: int, fill) -> jax.Array:
     )
 
 
-def _stage_chunks(packed: PackedReads, config: PipelineConfig):
+def _stage_chunks(packed: PackedReads, config: PipelineConfig,
+                  metrics: Optional[StageMetrics] = None):
     """Upload each bucket ONCE (no host-side pad copies: fresh multi-MB
     numpy allocations fault pages at ~30 MB/s here), then run the fused
     slice+decode+stage program per chunk. Both the count and the embed
     stages consume the result. chunk_size (the reference's --chunk-size,
     reads per processing chunk) caps the rows per chunk when given.
-    Returns [(staged_triple, host read_index (rows,))]."""
+    Returns [(staged_triple, host read_index (rows,))]. metrics (if given)
+    accrues the host->device upload bytes for roofline accounting."""
     from fedrann_tpu.io.packing import INVALID
     from fedrann_tpu.kmers.membership import staging_width
 
@@ -149,6 +151,7 @@ def _stage_chunks(packed: PackedReads, config: PipelineConfig):
 
     _t = _time.perf_counter()
     out = []
+    h2d_bytes = 0
     for bucket in packed.buckets:
         length = bucket.length or (
             bucket.bases.shape[1] if bucket.bases is not None else 0
@@ -198,6 +201,7 @@ def _stage_chunks(packed: PackedReads, config: PipelineConfig):
         if config.max_hits_per_read is not None:
             hit_buffer = min(hit_buffer,
                              max(8, -(-config.max_hits_per_read // 8) * 8))
+        h2d_bytes += sum(int(a.nbytes) for a in arrs)
         for start in range(0, n_rows_total, rows):
             idx = _pad_chunk(
                 bucket.read_index[start : start + rows].reshape(-1, 1), rows, -1
@@ -207,6 +211,8 @@ def _stage_chunks(packed: PackedReads, config: PipelineConfig):
                 hit_buffer, keep_all, seed32, threshold,
             )
             out.append((staged, idx))
+    if metrics is not None:
+        metrics.add_work("stage", h2d_bytes=h2d_bytes)
     _t = _tlog("stage queue", _t)
     # ONE device round-trip for the overflow total (a per-chunk int() costs
     # a full tunnel RTT each on remote hosts)
@@ -258,6 +264,7 @@ def compute_embeddings(
     config: PipelineConfig,
     p_ext: jnp.ndarray,
     staged_chunks,
+    metrics: Optional[StageMetrics] = None,
 ) -> tuple[jnp.ndarray, int]:
     """Stage 3: (2R, d) float32 embeddings in global (read0_fwd, read0_rev,
     ...) row order (reference __main__.py:277-282), DEVICE-resident — the
@@ -284,6 +291,18 @@ def compute_embeddings(
                  if packed.split_read_ids is not None else set())
     split_rows: list[tuple[np.ndarray, np.ndarray]] = []
     _t = _tlog("embed prep (lib index upload)", _t)
+    # roofline accounting: the embed stage is bound by projection-table row
+    # gathers — 2 gathered d-rows per staged slot (fwd + mirrored rev) plus
+    # the (2R, d) f32 output writes
+    staged_slots = sum(
+        int(np.prod(s[0][0][0].shape)) for s in staged_chunks if s is not None
+    )
+    if metrics is not None:
+        metrics.add_work(
+            "embed",
+            hbm_bytes=(2.0 * staged_slots * d * p_ext.dtype.itemsize
+                       + 2.0 * n_reads * d * 4),
+        )
 
     for ci in range(len(staged_chunks)):
         staged, idx = staged_chunks[ci]
@@ -436,7 +455,8 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
         def get_staged():
             if not _staged_cache:
                 with metrics.stage("stage"):
-                    _staged_cache.append(_stage_chunks(packed, config))
+                    _staged_cache.append(_stage_chunks(packed, config,
+                                                       metrics))
             return _staged_cache[0]
 
         with metrics.stage("count"):
@@ -507,7 +527,7 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
             emb = _load_embeddings_checkpoint(config, ckpt_dir, packed, library)
             if emb is None:
                 emb, _ = compute_embeddings(
-                    packed, library, config, p_ext, get_staged()
+                    packed, library, config, p_ext, get_staged(), metrics
                 )
                 if ckpt_dir:
                     np.save(os.path.join(ckpt_dir, "embeddings.npy"),
@@ -568,6 +588,19 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                     method=config.knn_topk_method,
                     transfer=config.knn_transfer,
                 )
+            # exact all-vs-all: 2*N^2*d FLOPs of distance matmul; the
+            # result matrices are the device->host payload (u16 wire
+            # halves both when active — knn/topk.py)
+            n_rows_knn = int(emb.shape[0])
+            elem = 2 if config.knn_transfer == "u16" else 4
+            idx_elem = (2 if (config.knn_transfer == "u16"
+                              and n_rows_knn <= 65536) else 4)
+            metrics.add_work(
+                "knn",
+                flops=2.0 * n_rows_knn * n_rows_knn * emb.shape[1],
+                d2h_bytes=float(idx.shape[0] * idx.shape[1]
+                                * (elem + idx_elem)),
+            )
 
         with metrics.stage("output"):
             overlaps_path = None
