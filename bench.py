@@ -71,7 +71,13 @@ def main() -> int:
     n_reads = len(sim.names)
     print(f"[bench] {n_reads} reads, genome {genome} bp", file=sys.stderr)
 
-    with tempfile.TemporaryDirectory() as tmp:
+    # workdir on tmpfs when available: this VM's disk sustains ~5 MB/s
+    # (writes >= 4 MB stall 12-20 s in the dirty-page throttle — see
+    # docs/TPU_PLATFORM_NOTES.md "Disk"), which would make the measured
+    # number mostly a disk benchmark. The CPU-oracle baseline writes no
+    # output at all, so tmpfs keeps the comparison about the pipeline.
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with tempfile.TemporaryDirectory(dir=tmp_parent) as tmp:
         fasta = os.path.join(tmp, "reads.fasta")
         write_fasta(fasta, sim.names, sim.sequences)
         args = [

@@ -74,6 +74,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "approx_max_k at 0.99 per-block recall).")
     p.add_argument("--knn-shard-strategy", choices=("allgather", "ring", "ring2d"),
                    default="ring", help="Candidate movement across chips.")
+    p.add_argument("--knn-method", choices=("exact", "ivf"), default="exact",
+                   help="Search algorithm: exact all-vs-all (default) or "
+                        "ivf (sub-quadratic coarse-k-means prefilter + "
+                        "exact rescore — the scaling valve past chr1).")
+    p.add_argument("--knn-ivf-clusters", type=int, default=None,
+                   help="IVF cluster count (default: auto ~2*sqrt(N)).")
+    p.add_argument("--knn-ivf-probes", type=int, default=8,
+                   help="IVF probed clusters per query (recall knob).")
     p.add_argument("--projection-dtype", choices=("bf16", "f32"),
                    default="bf16",
                    help="Projection-table storage dtype (accumulation is "
@@ -131,6 +139,9 @@ def config_from_args(argv: list[str] | None = None) -> PipelineConfig:
         knn_candidate_tile=args.knn_candidate_tile,
         knn_topk_method=args.knn_topk_method,
         knn_shard_strategy=args.knn_shard_strategy,
+        knn_method=args.knn_method,
+        knn_ivf_clusters=args.knn_ivf_clusters,
+        knn_ivf_probes=args.knn_ivf_probes,
         knn_transfer=args.knn_transfer,
         projection_dtype=args.projection_dtype,
         length_buckets=tuple(int(x) for x in args.length_buckets.split(",")),

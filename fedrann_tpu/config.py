@@ -79,6 +79,17 @@ class PipelineConfig:
     # (lax.approx_max_k, the TPU-KNN peak-FLOP/s selection; final merge
     # stays exact).
     knn_topk_method: str = "exact"
+    # Search algorithm: "exact" (brute-force all-vs-all, the default and
+    # the recall gold standard) or "ivf" (sub-quadratic coarse-k-means
+    # prefilter + exact cosine rescore — knn/ivf.py; the scaling valve for
+    # rungs past chr1, analogous to the reference's pynndescent,
+    # nearest_neighbors.py:39-55).
+    knn_method: str = "exact"
+    # IVF knobs: cluster count (None = auto ~2*sqrt(N) pow2) and probed
+    # clusters per query (recall knob; more probes = higher recall,
+    # linearly more distance work).
+    knn_ivf_clusters: Optional[int] = None
+    knn_ivf_probes: int = 8
     # "auto": shard the k-NN over all devices when more than one is visible;
     # "never": single-device; "always": require a mesh (error if 1 device).
     knn_sharded: str = "auto"
@@ -142,3 +153,7 @@ class PipelineConfig:
             raise ValueError("projection_dtype must be 'bf16' or 'f32'")
         if self.knn_topk_method not in ("exact", "approx"):
             raise ValueError("knn_topk_method must be 'exact' or 'approx'")
+        if self.knn_method not in ("exact", "ivf"):
+            raise ValueError("knn_method must be 'exact' or 'ivf'")
+        if self.knn_ivf_probes < 1:
+            raise ValueError("knn_ivf_probes must be >= 1")

@@ -66,8 +66,12 @@ def save_packed_cache(cache_path: str, packed: PackedReads, meta: dict) -> None:
             arrays[f"b{i}_packed"] = b.packed_bases
             arrays[f"b{i}_valid"] = b.valid_bits
     tmp = cache_path + ".tmp"
+    from fedrann_tpu.io.blockio import ChunkedWriter
+
     with open(tmp, "wb") as f:
-        np.savez(f, **arrays)  # uncompressed: load is one read + memcpy
+        # uncompressed: load is one read + memcpy. ChunkedWriter: a single
+        # big write() stalls 12-20s in this platform's dirty-page throttle
+        np.savez(ChunkedWriter(f), **arrays)
     os.replace(tmp, cache_path)
     logger.info("wrote packed-reads cache %s (%.1f MB)", cache_path,
                 os.path.getsize(cache_path) / 1e6)

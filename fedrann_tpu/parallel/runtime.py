@@ -457,7 +457,9 @@ def run_pipeline_multihost(config):
                     local, library, config, p_ext, get_staged(), metrics
                 )
                 if emb_npy:
-                    np.save(emb_npy, np.asarray(emb_local))
+                    from fedrann_tpu.io.blockio import np_save_chunked
+
+                    np_save_chunked(emb_npy, np.asarray(emb_local))
                     with open(emb_meta_path, "w") as f:
                         json.dump(fp, f)
         # embed was the last consumer: release the table before the k-NN
@@ -530,9 +532,12 @@ def run_pipeline_multihost(config):
                 write_overlaps_path(out_path, names_global, idx, dist,
                                     row_offset=2 * start)
                 if config.save_feature_matrix:
-                    np.savez_compressed(
+                    from fedrann_tpu.io.blockio import np_savez_chunked
+
+                    np_savez_chunked(
                         os.path.join(out_dir,
                                      f"feature_matrix.rank{pid}.npz"),
+                        compressed=True,
                         embeddings=np.asarray(emb_local),
                         names=np.array(local.names),
                         row_offset=2 * start,

@@ -530,8 +530,10 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                     packed, library, config, p_ext, get_staged(), metrics
                 )
                 if ckpt_dir:
-                    np.save(os.path.join(ckpt_dir, "embeddings.npy"),
-                            np.asarray(emb))
+                    from fedrann_tpu.io.blockio import np_save_chunked
+
+                    np_save_chunked(os.path.join(ckpt_dir, "embeddings.npy"),
+                                    np.asarray(emb))
                     with open(os.path.join(ckpt_dir, "embeddings_meta.json"),
                               "w") as f:
                         json.dump(_embed_fingerprint(config, packed, library), f)
@@ -546,7 +548,24 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
             n_dev = len(jax.devices())
             use_mesh = (config.knn_sharded == "always"
                         or (config.knn_sharded == "auto" and n_dev > 1))
-            if use_mesh:
+            if config.knn_method == "ivf" and not use_mesh:
+                from fedrann_tpu.knn.ivf import knn_ivf
+
+                idx, dist = knn_ivf(
+                    emb, config.n_neighbors,
+                    n_clusters=config.knn_ivf_clusters,
+                    n_probes=config.knn_ivf_probes,
+                    precision=config.knn_precision,
+                    method=config.knn_topk_method,
+                    transfer=config.knn_transfer,
+                )
+            elif use_mesh:
+                if config.knn_method == "ivf":
+                    logger.warning(
+                        "knn_method=ivf is single-device for now; the "
+                        "sharded mesh run uses the exact %s schedule",
+                        config.knn_shard_strategy,
+                    )
                 from fedrann_tpu.knn.ring import knn_exact_sharded
                 from fedrann_tpu.parallel.mesh import make_mesh, make_mesh_2d
 
@@ -588,16 +607,23 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                     method=config.knn_topk_method,
                     transfer=config.knn_transfer,
                 )
-            # exact all-vs-all: 2*N^2*d FLOPs of distance matmul; the
-            # result matrices are the device->host payload (u16 wire
+            # distance-matmul FLOPs: exact all-vs-all is 2*N^2*d; the IVF
+            # path probes ~p/C of the candidates (knn/ivf.py cost model).
+            # The result matrices are the device->host payload (u16 wire
             # halves both when active — knn/topk.py)
             n_rows_knn = int(emb.shape[0])
+            flops = 2.0 * n_rows_knn * n_rows_knn * emb.shape[1]
+            if config.knn_method == "ivf" and not use_mesh:
+                from fedrann_tpu.knn.ivf import auto_clusters
+
+                c_eff = config.knn_ivf_clusters or auto_clusters(n_rows_knn)
+                flops *= min(1.0, config.knn_ivf_probes / max(c_eff, 1))
             elem = 2 if config.knn_transfer == "u16" else 4
             idx_elem = (2 if (config.knn_transfer == "u16"
                               and n_rows_knn <= 65536) else 4)
             metrics.add_work(
                 "knn",
-                flops=2.0 * n_rows_knn * n_rows_knn * emb.shape[1],
+                flops=flops,
                 d2h_bytes=float(idx.shape[0] * idx.shape[1]
                                 * (elem + idx_elem)),
             )
@@ -613,8 +639,11 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                 if config.save_feature_matrix:
                     # the reference documents feature_matrix.npz but never
                     # writes it (README.md:66, SURVEY.md §2.4); we do.
-                    np.savez_compressed(
+                    from fedrann_tpu.io.blockio import np_savez_chunked
+
+                    np_savez_chunked(
                         os.path.join(out_dir, "feature_matrix.npz"),
+                        compressed=True,
                         embeddings=np.asarray(emb),
                         names=np.array(packed.names),
                     )
@@ -720,7 +749,9 @@ def _try_load_library_ckpt(config: PipelineConfig,
 
 def _save_library_ckpt(config: PipelineConfig, ckpt_dir: str,
                        library: KmerLibrary) -> None:
-    np.savez(
+    from fedrann_tpu.io.blockio import np_savez_chunked
+
+    np_savez_chunked(
         os.path.join(ckpt_dir, "library.npz"),
         codes=library.codes, counts=library.counts,
         k=config.kmer_size, seed=config.seed,

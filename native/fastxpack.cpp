@@ -35,6 +35,23 @@ struct Buffers {
   std::vector<uint64_t> name_offsets;  // n_reads offsets into names
 };
 
+// This platform's VMs stall pathologically on LARGE single write()s to
+// ext4: a 31 MB write measures 12-20 s (dirty-page throttling kicks in
+// per-syscall) while the same bytes in <=1 MB slices land in the page
+// cache at full speed (~0.04 s). Every bulk file write must go through
+// this slicer.
+size_t fwrite_chunked(const char* data, size_t n, FILE* f) {
+  const size_t kChunk = 1 << 20;
+  size_t done = 0;
+  while (done < n) {
+    size_t step = n - done < kChunk ? n - done : kChunk;
+    size_t w = fwrite(data + done, 1, step, f);
+    done += w;
+    if (w != step) break;
+  }
+  return done;
+}
+
 uint8_t g_lut[256];
 
 void init_lut() {
@@ -578,7 +595,7 @@ int64_t fastx_write_overlaps_matrix(const char* path, const char* names,
   int64_t total = 0;
   for (unsigned w = 0; w < n_threads; ++w) {
     if (!bufs[w].empty() &&
-        fwrite(bufs[w].data(), 1, bufs[w].size(), f) != bufs[w].size()) {
+        fwrite_chunked(bufs[w].data(), bufs[w].size(), f) != bufs[w].size()) {
       fclose(f);
       return -3;
     }
