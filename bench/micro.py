@@ -83,7 +83,7 @@ def bench_embed(hits, p_ext, p_swapped):
 
 
 def bench_fused(staged, codes, p_ext):
-    from fedrann_tpu.project.pallas_embed import (
+    from pallas_embed import (  # bench/pallas_embed.py (bench-only kernel)
         build_q_cat,
         merge_embed,
         prepare_library,

@@ -62,7 +62,7 @@ def main():
     t("codec canonical_window_codes (R,L)", f, bases)
 
     # 2. pallas fused codec
-    from fedrann_tpu.kmers.pallas_kernels import canonical_and_sample
+    from pallas_kernels import canonical_and_sample  # bench-only kernel
     f = jax.jit(lambda b: canonical_and_sample(b, K, 602, int(0.05 * 2**32)))
     t("pallas canonical_and_sample (R,L)", f, bases)
 

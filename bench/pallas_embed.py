@@ -48,6 +48,14 @@ k <= 15 uses the strand-packed single plane ((code<<1)|strand, 31
 bits); k == 16 uses the two-plane (code, strand) staging. k > 16
 (two-word codes) falls back to the XLA implementation in
 kmers/membership.py + project/embed.py.
+
+BENCH-ONLY (not in the production pipeline). Measured head-to-head at
+the driver-bench chunk shape, the scalar-walk kernel runs ~147 ms/chunk
+vs ~60 ms for the XLA membership+gather pair it was built to replace:
+the per-candidate SMEM scalar walk serializes what XLA's batched gathers
+overlap, and this platform's real taxes (launch count, gather row
+count) are already paid once per chunk either way. Kept under bench/
+with its tests as the measurement record (VERDICT r2 next-round 9).
 """
 
 from __future__ import annotations

@@ -13,6 +13,12 @@ are invalid), so blocks stay lane-aligned regardless of k.
 k <= 16 (single-word codes) — the two-word variant falls back to the XLA
 codec. Grid: one program per row block; each block processes (block_rows, L)
 bases entirely in VMEM.
+
+BENCH-ONLY (not in the production pipeline): the fused staging program
+(pipeline._stage_chunk_fused) already keeps the intermediate code/rc/
+valid planes as jit-internal temps, so XLA fuses the same elementwise
+chain this kernel hand-writes; measured per-chunk times match. Kept
+under bench/ with its tests as the measurement record.
 """
 
 from __future__ import annotations

@@ -17,10 +17,12 @@ Mosaic hardening: unsigned min/max are synthesized from compare+select
 (`arith.minui` does not exist on this toolchain); masks come from 2-D
 broadcasted_iota; all scalars are int32.
 
-Replaces jax.lax.sort on the staging hot path (kmers/membership.py
-_sort_rows) — the TPU-native analogue of the reference's per-read
-robin_hood set insert order (kmer_searcher.cpp:308-349 produces unordered
-sets; our contract is sorted rows, SURVEY.md §2.5).
+BENCH-ONLY (not in the production pipeline). Built as a candidate
+replacement for jax.lax.sort on the staging hot path (kmers/membership.py
+_sort_rows); measured head-to-head on the v5e it MATCHES XLA's row sort
+(~0.1 ms at hot shapes — the round-1 "37 ms/sort" cost turned out to be
+launch latency, not sort work), so the production path keeps the simpler
+XLA sort. Kept under bench/ with its tests as the measurement record.
 """
 
 from __future__ import annotations

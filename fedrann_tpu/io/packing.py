@@ -61,6 +61,11 @@ class PackedBucket:
     packed_bases: np.ndarray | None = None  # (R_b, ceil(L/4)) uint8
     valid_bits: np.ndarray | None = None    # (R_b, ceil(L/8)) uint8
     length: int = 0                # L_bucket (needed when bases is None)
+    # True => every row's validity is a pure length prefix (no mid-read
+    # invalid bases), so the device upload can ride per-row lengths and
+    # skip the valid_bits plane. None => unknown (derive by popcount);
+    # the native packer caches the answer at fill time.
+    prefix_valid: bool | None = None
 
 
 @dataclasses.dataclass

@@ -34,6 +34,49 @@ from fedrann_tpu.ops import compact_flat
 from fedrann_tpu.oracle import KmerLibrary
 
 
+class DeviceLibrary:
+    """Device-resident sampled library with the KmerLibrary surface.
+
+    The round-2 build transferred the whole compacted library to the host
+    (codes + counts) only for the embed stage to re-upload the words and a
+    freshly built prefix table — a D2H + H2D round trip over a ~4-5 MB/s
+    tunnel link that cost ~1 s/run at the E. coli rung. Here the sorted
+    word planes and counts stay device arrays end to end; `.codes` /
+    `.counts` materialize host copies lazily, so only consumers that
+    genuinely need host data (checkpoint save, multi-host library merge,
+    golden/compat comparisons) ever pay the transfer.
+    """
+
+    def __init__(self, words: tuple, counts: "jax.Array", k: int):
+        self.words_dev = words          # tuple of (n,) uint32 device arrays
+        self.counts_dev = counts        # (n,) int32 device array
+        self.k = k
+        self._codes = None
+        self._counts = None
+
+    @property
+    def size(self) -> int:
+        return int(self.words_dev[0].shape[0])
+
+    @property
+    def n_features(self) -> int:
+        return 2 * self.size
+
+    @property
+    def codes(self) -> np.ndarray:
+        if self._codes is None:
+            self._codes = words_to_u64(
+                tuple(np.asarray(w) for w in self.words_dev)
+            )
+        return self._codes
+
+    @property
+    def counts(self) -> np.ndarray:
+        if self._counts is None:
+            self._counts = np.asarray(self.counts_dev).astype(np.int64)
+        return self._counts
+
+
 @jax.jit
 def _sort_words(words):
     """Lexicographic device sort of a word-plane tuple (single-word:
@@ -111,11 +154,12 @@ def build_library_on_device(
     seed: int,
     cap: int | None = None,
     presampled: bool = False,
-) -> KmerLibrary:
+) -> DeviceLibrary:
     """canon_chunks: list of canonical-code word tuples (device arrays, any
     shape — flattened here), as produced by canonical_window_codes (invalid
-    windows carry the all-ones sentinel). Returns the host KmerLibrary
-    (sorted unique sampled codes + multiplicities).
+    windows carry the all-ones sentinel). Returns a DeviceLibrary (sorted
+    unique sampled codes + multiplicities, device-resident; host views are
+    lazy).
     """
     n_words_ = len(canon_chunks[0])
     flat = tuple(
@@ -174,7 +218,11 @@ def build_library_on_device(
         lib_words, counts, n_keep = _compact(
             sorted_words, keep, count, flat[0].shape[0]
         )
-    host_words = tuple(np.asarray(w)[:n] for w in lib_words)
-    host_counts = np.asarray(counts)[:n].astype(np.int64)
-    codes = words_to_u64(host_words)
-    return KmerLibrary(codes=codes, counts=host_counts)
+    # trim on device: the library never crosses to the host here
+    # (DeviceLibrary materializes .codes/.counts lazily for the few
+    # consumers that need host copies)
+    return DeviceLibrary(
+        words=tuple(w[:n] for w in lib_words),
+        counts=counts[:n].astype(jnp.int32),
+        k=k,
+    )

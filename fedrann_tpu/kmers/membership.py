@@ -92,18 +92,67 @@ class LibraryIndex:
         self.packed = packed
 
 
+def _index_bits(size: int, k: int) -> int:
+    # ~2 entries per bucket on average, capped at a 4M-entry table.
+    # (Denser tables measured WORSE: at a 310k library, bits+3 made the
+    # host build 60x slower and the device lookup 1.35x slower — the
+    # bigger table gather costs more than the 1-2 refinement steps it
+    # saves.)
+    return min(min(22, max(8, int(size).bit_length())), 2 * k)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "bits"))
+def _bucket_counts_dev(words: tuple, k: int, bits: int) -> jax.Array:
+    """Per-bucket entry counts of the prefix table, on device."""
+    prefix = _code_prefix(words, k, bits)
+    return jnp.bincount(prefix, length=1 << bits).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("packed",))
+def _prefix_table_dev(bucket_counts: jax.Array, packed: bool) -> jax.Array:
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(bucket_counts)[:-1].astype(jnp.int32)]
+    )
+    if packed:
+        return ((starts.astype(jnp.uint32) << jnp.uint32(4))
+                | bucket_counts.astype(jnp.uint32))
+    ends = starts + bucket_counts
+    return jnp.concatenate([starts, ends[-1:]])
+
+
+def build_library_index_device(library, bits: int | None = None
+                               ) -> LibraryIndex:
+    """Build the membership index FROM a DeviceLibrary without the library
+    ever visiting the host: the prefix histogram, cumsum bounds, and packed
+    table are device ops over the already-sorted word planes. One scalar
+    device->host sync (the max bucket size) picks the refinement-step count
+    and the packed/unpacked table form. Replaces the round trip the host
+    build pays (D2H of the codes at ~4-5 MB/s + H2D re-upload of words and
+    table)."""
+    words = library.words_dev
+    k = library.k
+    size = library.size
+    if size == 0:
+        return build_library_index(np.zeros((0,), np.uint64), k, bits)
+    if bits is None:
+        bits = _index_bits(size, k)
+    bits = min(bits, 2 * k)
+    bucket_counts = _bucket_counts_dev(words, k, bits)
+    max_bucket = int(jnp.max(bucket_counts))  # the one host sync
+    steps = max(1, int(max_bucket).bit_length())
+    packed = max_bucket < 16 and size < (1 << 27)
+    table = _prefix_table_dev(bucket_counts, packed)
+    return LibraryIndex(words, table, k, bits, steps, packed)
+
+
 def build_library_index(lib_codes_u64: np.ndarray, k: int,
                         bits: int | None = None) -> LibraryIndex:
     """Build the device index for a sorted host library."""
     words = library_device_words(lib_codes_u64, k)
     size = len(lib_codes_u64)
     if bits is None:
-        # ~2 entries per bucket on average, capped at a 4M-entry table.
-        # (Denser tables measured WORSE: at a 310k library, bits+3 made
-        # the host build 60x slower and the device lookup 1.35x slower —
-        # the bigger table gather costs more than the 1-2 refinement
-        # steps it saves.)
-        bits = min(22, max(8, int(size).bit_length()))
+        bits = _index_bits(size, k)
     bits = min(bits, 2 * k)
     # host-side prefix (D2H of a device prefix costs ~50 ms/M entries on
     # this tunnel); identical to _code_prefix on the device words

@@ -135,10 +135,6 @@ def _stage_chunks(packed: PackedReads, config: PipelineConfig,
 
     import time as _time
 
-    _POPCNT = np.unpackbits(
-        np.arange(256, dtype=np.uint8)[:, None], axis=1
-    ).sum(axis=1).astype(np.int32)
-
     # an imported reference library was NOT sampled by our hash, so the
     # hash prefilter would silently discard its true hits — stage every
     # valid window in that case
@@ -171,11 +167,19 @@ def _stage_chunks(packed: PackedReads, config: PipelineConfig,
         else:
             # when every row's validity is a pure prefix (no mid-read N
             # bases — the common case), per-row lengths replace the
-            # valid-bits plane: a third less host->device traffic
-            set_bits = _POPCNT[bucket.valid_bits].sum(axis=1, dtype=np.int64)
-            prefix_valid = bool(
-                (set_bits == bucket.lengths.astype(np.int64)).all()
-            )
+            # valid-bits plane: a third less host->device traffic. The
+            # native packer caches the answer at fill time (prefix_valid);
+            # the popcount re-derivation below is only for hand-built
+            # buckets and cost 0.3-4.2 s/run on the 30 MB dmel planes.
+            if bucket.prefix_valid is not None:
+                prefix_valid = bucket.prefix_valid
+            else:
+                set_bits = np.unpackbits(
+                    bucket.valid_bits, axis=1
+                ).sum(axis=1, dtype=np.int64)
+                prefix_valid = bool(
+                    (set_bits == bucket.lengths.astype(np.int64)).all()
+                )
             if prefix_valid:
                 mode = "len"
                 arrs = (
@@ -279,7 +283,15 @@ def compute_embeddings(
     n_reads = packed.n_reads
     d = p_ext.shape[1]
     buf = jnp.zeros((2 * n_reads + 1, d), dtype=jnp.float32)
-    lib_index = build_library_index(library.codes, config.kmer_size)
+    # device-built libraries index without a host round trip (the codes
+    # D2H at ~4-5 MB/s + words/table re-upload cost ~1 s/run before)
+    from fedrann_tpu.kmers.library_device import DeviceLibrary
+    from fedrann_tpu.kmers.membership import build_library_index_device
+
+    if isinstance(library, DeviceLibrary):
+        lib_index = build_library_index_device(library)
+    else:
+        lib_index = build_library_index(library.codes, config.kmer_size)
     dropped_parts = []
     # chunk-split reads (longer than the largest bucket) have one hit row
     # PER SEGMENT; those rows are diverted from the normal scatter and
@@ -515,8 +527,12 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                 # whole.
                 p_dtype = (jnp.float32 if config.projection_dtype == "f32"
                            else jnp.bfloat16)
+                # DeviceLibrary counts are already on device; .counts
+                # would D2H them only to re-upload
+                counts_dev = getattr(library, "counts_dev", None)
                 p_ext = build_precompute(
-                    jnp.asarray(library.counts),
+                    counts_dev if counts_dev is not None
+                    else jnp.asarray(library.counts),
                     config.embedding_dimension,
                     config.projection_seed,
                     config.projection_density,

@@ -468,12 +468,17 @@ void fastx_fill_bucket(const uint8_t* codes, const uint64_t* offsets,
 // Padding/invalid bases pack as A with a cleared validity bit. Shrinks the
 // host->device upload 4x (plus 1/8 for the mask) — the upload is a
 // first-order cost on tunneled TPU hosts.
-void fastx_fill_bucket_packed(const uint8_t* codes, const uint64_t* offsets,
-                              const int32_t* rows, uint64_t n_rows,
-                              uint64_t bucket_len, uint8_t* out_packed,
-                              uint8_t* out_valid) {
+// Returns the number of invalid (non-ACGT) bases inside the filled rows:
+// zero means every row's validity is a pure length prefix, so the device
+// upload can ride per-row lengths instead of the valid-bits plane (and the
+// host skips a 30 MB popcount re-derivation per run — it cost 0.3-4 s).
+int64_t fastx_fill_bucket_packed(const uint8_t* codes, const uint64_t* offsets,
+                                 const int32_t* rows, uint64_t n_rows,
+                                 uint64_t bucket_len, uint8_t* out_packed,
+                                 uint8_t* out_valid) {
   uint64_t packed_stride = (bucket_len + 3) / 4;
   uint64_t valid_stride = (bucket_len + 7) / 8;
+  int64_t n_invalid = 0;
   for (uint64_t i = 0; i < n_rows; ++i) {
     uint64_t r = (uint64_t)rows[i];
     uint64_t len = offsets[r + 1] - offsets[r];
@@ -486,10 +491,13 @@ void fastx_fill_bucket_packed(const uint8_t* codes, const uint64_t* offsets,
       if (c < 4) {
         pk[j >> 2] |= (uint8_t)(c << ((j & 3) * 2));
         vd[j >> 3] |= (uint8_t)(1u << (j & 7));
+      } else {
+        // invalid: leave 0 bits (A) with validity 0
+        ++n_invalid;
       }
-      // invalid: leave 0 bits (A) with validity 0
     }
   }
+  return n_invalid;
 }
 
 // One formatted row into dst (caller guarantees capacity); returns bytes.

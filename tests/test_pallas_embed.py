@@ -1,14 +1,21 @@
-"""merge_embed (fused Pallas membership+embedding) vs the XLA twin.
+"""merge_embed (fused Pallas membership+embedding, bench/pallas_embed.py)
+vs the XLA twin.
 
-Interpreter mode on the CPU test mesh; the kernel's compiled path is
-exercised on hardware by the pipeline flag (bench) and covered by the
-same numerics contract."""
+The kernel is BENCH-ONLY (measured slower than the XLA pair it targeted —
+see its docstring); these tests keep the measurement artifact honest.
+Interpreter mode on the CPU test mesh."""
 
 from __future__ import annotations
+
+import os
+import sys
 
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "bench"))
 
 from fedrann_tpu import oracle
 from fedrann_tpu.io.fastx import FastxRecord
@@ -19,7 +26,7 @@ from fedrann_tpu.kmers.membership import (
     stage_candidates,
 )
 from fedrann_tpu.project.embed import embed_hits_pair, swap_halves
-from fedrann_tpu.project.pallas_embed import (
+from pallas_embed import (
     build_q_cat,
     merge_embed,
     prepare_library,

@@ -1,11 +1,18 @@
-"""Pallas codec kernel vs the XLA path (interpret mode on CPU)."""
+"""Pallas codec kernel (bench/pallas_kernels.py, BENCH-ONLY) vs the XLA
+path (interpret mode on CPU)."""
+
+import os
+import sys
 
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "bench"))
+
 from fedrann_tpu.kmers.codec import canonical_window_codes, sample_hash32
-from fedrann_tpu.kmers.pallas_kernels import canonical_and_sample
+from pallas_kernels import canonical_and_sample
 
 
 @pytest.mark.parametrize("k", [5, 15, 16])
