@@ -57,7 +57,7 @@ def main() -> int:
     genome = int(os.environ.get("BENCH_GENOME", 5_000_000))
     coverage = float(os.environ.get("BENCH_COVERAGE", 12))
     read_len = int(os.environ.get("BENCH_READ_LEN", 8000))
-    baseline_reads = int(os.environ.get("BENCH_BASELINE_READS", 300))
+    baseline_reads = int(os.environ.get("BENCH_BASELINE_READS", 0))
 
     from fedrann_tpu.cli import config_from_args
     from fedrann_tpu.pipeline import run_pipeline
@@ -126,23 +126,32 @@ def main() -> int:
         if roofline:
             print(f"[bench] roofline: {roofline}", file=sys.stderr)
 
-    # CPU-oracle baseline on a SMALLER dataset with the SAME coverage (a
-    # read subset of the big run would have ~1/50th the coverage, emptying
-    # the multiplicity-filtered library and making per-read work
-    # incomparable). Linear extrapolation in read count; library build +
-    # embedding are linear, exact knn quadratic, so the ratio is
-    # conservative in the baseline's favor at large N.
-    base_genome = max(50_000, genome * baseline_reads // max(n_reads, 1))
-    base_sim = simulate_reads(
-        genome_length=base_genome, coverage=coverage,
-        mean_read_length=read_len, error_rate=0.05, seed=1234,
-    )
-    sub = base_sim.sequences
-    # best-of-N for the oracle too: the host CPU is shared, and the same
-    # oracle run measures anywhere in a 3x band (9.6-25.9 s observed) —
-    # symmetric with the device measurement above
+    # CPU-oracle baseline on the IDENTICAL dataset (same reads, same N).
+    # Earlier rounds extrapolated from a 300-read matched-coverage subset,
+    # but the oracle's per-read cost is ~N^1.14 (measured: 232 reads/s at
+    # n=300, 45 at n=1500, 41 at n=3000) — the subset flattered the CPU
+    # ~6x and made vs_baseline meaningless across rounds. Full-N costs
+    # ~3.5 min at the default 7500 reads; BENCH_BASELINE_READS caps the
+    # subset size for quick runs (0/unset = full N, with a floor so the
+    # cap can't resurrect the flattering tiny-subset regime).
+    if baseline_reads and baseline_reads < n_reads:
+        # capped path: matched-coverage smaller genome (a raw read subset
+        # would have ~1/5 the coverage and an empty min-multiplicity
+        # library), floored at 1500 reads to stay out of the flattering
+        # tiny-subset regime
+        cap = max(baseline_reads, 1500)
+        base_sim = simulate_reads(
+            genome_length=max(50_000, genome * cap // max(n_reads, 1)),
+            coverage=coverage, mean_read_length=read_len,
+            error_rate=0.05, seed=1234,
+        )
+        sub = base_sim.sequences
+    else:
+        sub = sim.sequences
+    # best-of-2: the host CPU is shared (throttle phases observed in
+    # earlier rounds) — symmetric with the device best-of-4 above
     otimes = []
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
         oracle.run_oracle_pipeline(
             sub, k=15, sample_fraction=0.05, min_multiplicity=2,

@@ -42,8 +42,16 @@ def run_one(cfg, warm: bool = True) -> dict:
     # (simulate_reads is seed-deterministic, so re-deriving it for truth
     # matches the cached fasta).
     if True:
-        tmp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "_work", cfg.name.split(":")[0])
+        # workdir on tmpfs when available: the root volume sustains ~5 MB/s
+        # (docs/TPU_PLATFORM_NOTES.md "Disk"), so a chr1-scale 3.6 GB fasta
+        # would cost ~12 min per READ pass — the rung would measure the
+        # virtio throttle, not the pipeline. FEDRANN_BENCH_WORK overrides.
+        work_root = os.environ.get("FEDRANN_BENCH_WORK")
+        if work_root is None:
+            work_root = ("/dev/shm/fedrann_bench" if os.path.isdir("/dev/shm")
+                         else os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                           "_work"))
+        tmp = os.path.join(work_root, cfg.name.split(":")[0])
         os.makedirs(tmp, exist_ok=True)
         fasta = os.path.join(tmp, "reads.fasta")
         meta_path = fasta + ".meta.json"

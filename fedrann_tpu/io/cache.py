@@ -25,7 +25,8 @@ import numpy as np
 from fedrann_tpu.io.packing import PackedBucket, PackedReads
 from fedrann_tpu.logging_utils import logger
 
-CACHE_VERSION = 2
+CACHE_VERSION = 3  # v3: per-bucket prefix_valid persisted (re-deriving it
+# by popcount costs ~4 s/run over a 30 MB valid-bits plane on this host)
 
 
 def cache_meta(input_path: str, length_buckets: Sequence[int],
@@ -65,6 +66,8 @@ def save_packed_cache(cache_path: str, packed: PackedReads, meta: dict) -> None:
         else:
             arrays[f"b{i}_packed"] = b.packed_bases
             arrays[f"b{i}_valid"] = b.valid_bits
+            if b.prefix_valid is not None:
+                arrays[f"b{i}_prefix_valid"] = np.bool_(b.prefix_valid)
     tmp = cache_path + ".tmp"
     from fedrann_tpu.io.blockio import ChunkedWriter
 
@@ -103,7 +106,10 @@ def load_packed_cache(cache_path: str, meta: dict) -> Optional[PackedReads]:
             else:
                 buckets.append(PackedBucket(
                     bases=None, packed_bases=data[f"b{i}_packed"],
-                    valid_bits=data[f"b{i}_valid"], **kw,
+                    valid_bits=data[f"b{i}_valid"],
+                    prefix_valid=(bool(data[f"b{i}_prefix_valid"])
+                                  if f"b{i}_prefix_valid" in data else None),
+                    **kw,
                 ))
         logger.info("loaded packed-reads cache %s (%d reads)", cache_path,
                     len(names))

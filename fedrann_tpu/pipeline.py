@@ -180,6 +180,7 @@ def _stage_chunks(packed: PackedReads, config: PipelineConfig,
                 prefix_valid = bool(
                     (set_bits == bucket.lengths.astype(np.int64)).all()
                 )
+                bucket.prefix_valid = prefix_valid  # memoize: ~4 s/30 MB
             if prefix_valid:
                 mode = "len"
                 arrs = (
