@@ -157,32 +157,69 @@ def _knn_tiles(en, n_neighbors, query_tile, candidate_tile, precision,
 def knn_exact(
     embeddings: jax.Array,
     n_neighbors: int,
-    query_tile: int = 1024,
-    candidate_tile: int = 8192,
+    query_tile: int = 512,
+    candidate_tile: int = 131072,
     precision: str = "bf16",
     method: str = "exact",
     transfer: str = "f32",
+    stream_rows: int = 65536,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(N, d) embeddings -> (indices (N, k) int32, distances (N, k) float32),
     sorted ascending by distance, k = min(n_neighbors, N). method='approx'
     switches block-level selection to approx_max_k (exact final merge);
-    transfer='u16' halves the distance device->host payload (quantize_dist)."""
+    transfer='u16' halves the distance device->host payload (quantize_dist).
+
+    The search runs in query SLABS of `stream_rows`: slab i+1's compute is
+    dispatched (async) before slab i's results cross to the host, so the
+    device->host copy rides under the MXU work instead of after it. This
+    also bounds any single transfer to ~stream_rows*k*6 bytes — the chr1
+    rung's one-shot 216 MB result copy crashed the tunneled TPU worker
+    mid-transfer (bench/results notes, round 3)."""
     n = embeddings.shape[0]
     k = min(n_neighbors, n)
     en = normalize_rows(jnp.asarray(embeddings))
-    dist, idx = _knn_tiles(
-        en, k, min(query_tile, max(8, n)), min(candidate_tile, max(8, n)),
-        precision, method,
-    )
-    return transfer_idx(idx, transfer, n), transfer_dist(dist, transfer)
+    qt = min(query_tile, max(8, n))
+    ct = min(candidate_tile, max(8, n))
+    if n <= stream_rows:
+        dist, idx = _knn_tiles(en, k, qt, ct, precision, method)
+        return transfer_idx(idx, transfer, n), transfer_dist(dist, transfer)
+
+    idx_out = np.empty((n, k), np.int32)
+    dist_out = np.empty((n, k), np.float32)
+    pending = None  # (row_start, n_rows, idx_dev, dist_dev) not yet on host
+
+    def _drain(entry):
+        s, rows, idx_dev, dist_dev = entry
+        idx_out[s : s + rows] = transfer_idx(idx_dev, transfer, n)[:rows]
+        dist_out[s : s + rows] = transfer_dist(dist_dev, transfer)[:rows]
+
+    # zero-row padding keeps every slab on ONE compiled executable (the
+    # remote compile server charges 20-40 s per fresh shape); padded query
+    # rows produce garbage neighbors that are sliced off at drain time
+    pad = (-n) % stream_rows
+    en_q = jnp.concatenate([en, jnp.zeros((pad, en.shape[1]), en.dtype)]) \
+        if pad else en
+    for s in range(0, n, stream_rows):
+        # traced start index -> one slice executable for every slab
+        dist_dev, idx_dev = _knn_tiles_qc(
+            jax.lax.dynamic_slice_in_dim(
+                en_q, jnp.int32(s), stream_rows, axis=0
+            ),
+            en, k, qt, ct, precision, method,
+        )
+        if pending is not None:
+            _drain(pending)
+        pending = (s, min(stream_rows, n - s), idx_dev, dist_dev)
+    _drain(pending)
+    return idx_out, dist_out
 
 
 def knn_exact_block(
     queries: jax.Array,
     candidates: jax.Array,
     n_neighbors: int,
-    query_tile: int = 1024,
-    candidate_tile: int = 8192,
+    query_tile: int = 512,
+    candidate_tile: int = 131072,
     precision: str = "bf16",
     method: str = "exact",
     transfer: str = "f32",

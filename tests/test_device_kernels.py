@@ -229,6 +229,25 @@ def test_knn_exact_matches_oracle():
         assert inter >= 9, f"row {r}: {inter}"
 
 
+def test_knn_exact_streamed_matches_unstreamed():
+    """The query-slab streaming path (stream_rows < N, used to overlap the
+    device->host result copy with compute and to bound single-transfer
+    size at the chr1 rung) must return exactly what the one-shot path
+    returns, including the non-multiple final slab."""
+    rng = np.random.default_rng(15)
+    e = rng.normal(size=(200, 32)).astype(np.float32)
+    idx_one, dist_one = knn_exact(e, 10, query_tile=16, precision="fp32")
+    idx_s, dist_s = knn_exact(e, 10, query_tile=16, precision="fp32",
+                              stream_rows=64)
+    np.testing.assert_array_equal(idx_s, idx_one)
+    np.testing.assert_allclose(dist_s, dist_one, atol=1e-6)
+    # u16 wire through the streamed path too
+    idx_u, dist_u = knn_exact(e, 10, query_tile=16, precision="fp32",
+                              stream_rows=96, transfer="u16")
+    np.testing.assert_array_equal(idx_u, idx_one)
+    np.testing.assert_allclose(dist_u, dist_one, atol=2e-4)
+
+
 def test_knn_bf16_close_to_fp32():
     rng = np.random.default_rng(14)
     e = rng.normal(size=(256, 128)).astype(np.float32)
