@@ -45,7 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nndescent-n-trees", type=int, default=300,
                    help="Accepted for reference-CLI parity; unused (search is exact).")
     p.add_argument("--nndescent-n-neighbors", type=int, default=50,
-                   help="Number of neighbors per query row.")
+                   help="Number of neighbors per query row. The reference "
+                        "default 50 measurably under-recalls true overlaps "
+                        "on noisy ONT-shaped data (0.768 @50 vs 0.892 @100 "
+                        "on an E. coli ONT-like 50x set); use 100 for ONT "
+                        "assemblies (README 'Choosing n-neighbors').")
     p.add_argument("--seed", type=int, default=356115,
                    help="Random seed (library sampling).")
     p.add_argument("--save-feature-matrix", action="store_true",
@@ -66,8 +70,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "counted and warned.")
     p.add_argument("--knn-precision", choices=("bf16", "fp32"), default="bf16",
                    help="Distance-matmul precision (fp32 accumulation either way).")
-    p.add_argument("--knn-query-tile", type=int, default=1024)
-    p.add_argument("--knn-candidate-tile", type=int, default=8192)
+    # tile defaults live on PipelineConfig (512 / 131072, the measured-best
+    # pair — config.py:66-74); None here means "use those" so the CLI can
+    # never silently shadow them with stale copies
+    p.add_argument("--knn-query-tile", type=int, default=None,
+                   help="Query rows per top-k tile (default: config's 512).")
+    p.add_argument("--knn-candidate-tile", type=int, default=None,
+                   help="Candidate columns per selection round "
+                        "(default: config's 131072).")
     p.add_argument("--knn-topk-method", choices=("exact", "approx"),
                    default="exact",
                    help="Block-level top-k selection (approx = TPU "
@@ -89,6 +99,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--knn-transfer", choices=("u16", "f32"), default="u16",
                    help="Distance wire format for the device->host copy "
                         "(u16 halves the payload; ~3e-5 max rounding).")
+    p.add_argument("--knn-sharded", choices=("auto", "never", "always"),
+                   default="auto",
+                   help="Shard the k-NN over the device mesh: auto = when "
+                        "more than one device is visible.")
+    p.add_argument("--mesh-shape", type=str, default=None,
+                   help="Comma-separated device-mesh shape, e.g. '2,4' = "
+                        "(hosts, data) for ring2d (default: all local "
+                        "devices on one axis).")
+    p.add_argument("--window-batch", type=int, default=None,
+                   help="Window positions per device batch in the k-mer "
+                        "stages (default: config's 32M).")
     p.add_argument("--length-buckets", type=str, default="4096,16384,65536,262144",
                    help="Comma-separated padded read-length buckets.")
     p.add_argument("--import-library", type=str, default=None,
@@ -115,6 +136,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def config_from_args(argv: list[str] | None = None) -> PipelineConfig:
     args = build_parser().parse_args(argv)
+    import dataclasses as _dc
+
+    _defaults = {f.name: f.default for f in _dc.fields(PipelineConfig)}
+    mesh_shape = (tuple(int(x) for x in args.mesh_shape.split(","))
+                  if args.mesh_shape else None)
     return PipelineConfig(
         input_path=args.input,
         output_dir=args.output_dir,
@@ -135,8 +161,17 @@ def config_from_args(argv: list[str] | None = None) -> PipelineConfig:
         projection_density=args.projection_density,
         max_hits_per_read=args.max_hits_per_read,
         knn_precision=args.knn_precision,
-        knn_query_tile=args.knn_query_tile,
-        knn_candidate_tile=args.knn_candidate_tile,
+        knn_query_tile=(args.knn_query_tile
+                        if args.knn_query_tile is not None
+                        else _defaults["knn_query_tile"]),
+        knn_candidate_tile=(args.knn_candidate_tile
+                            if args.knn_candidate_tile is not None
+                            else _defaults["knn_candidate_tile"]),
+        knn_sharded=args.knn_sharded,
+        mesh_shape=mesh_shape,
+        window_batch=(args.window_batch
+                      if args.window_batch is not None
+                      else _defaults["window_batch"]),
         knn_topk_method=args.knn_topk_method,
         knn_shard_strategy=args.knn_shard_strategy,
         knn_method=args.knn_method,

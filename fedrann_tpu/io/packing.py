@@ -167,14 +167,19 @@ def pack_reads(
         n_rows = len(rows)
         padded_rows = -(-n_rows // pad_rows_to) * pad_rows_to
         mat = full_fast((padded_rows, buckets[b]), INVALID, np.uint8)
+        # prefix_valid is known for free at fill time (ADVICE r3): a row's
+        # validity is a pure length prefix iff no mid-read base is INVALID
+        prefix_valid = True
         for r, codes in enumerate(rows):
             mat[r, : len(codes)] = codes
+            if prefix_valid and codes.max(initial=0) >= INVALID:
+                prefix_valid = False
         lengths = np.zeros(padded_rows, dtype=np.int32)
         lengths[:n_rows] = per_bucket_len[b]
         read_index = full_fast(padded_rows, -1, np.int32)
         read_index[:n_rows] = per_bucket_idx[b]
         out.append(PackedBucket(bases=mat, lengths=lengths, read_index=read_index,
-                                length=buckets[b]))
+                                length=buckets[b], prefix_valid=prefix_valid))
 
     return PackedReads(
         names=names, buckets=out, n_truncated=n_truncated,

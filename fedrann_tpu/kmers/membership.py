@@ -228,20 +228,52 @@ def _sort_rows(planes: tuple) -> tuple:
     return tuple(jax.lax.sort(planes, dimension=1, num_keys=len(planes)))
 
 
+# Column width of the blocked-selection sort (stage_candidates). Measured
+# head-to-head at the rung shapes (bench/micro_stage.py, v5e): the full
+# (R, W) row sort costs 191 ms/chunk at the dmel shape (W=65536, 2 planes)
+# while a (R*G, 1024) block sort + per-block cap slice + narrow re-sort
+# costs 87 ms — only ~p*W of the W slots survive the sampling mask, so
+# sorting the full width is O(W log W) on dead slots (VERDICT r3 item 2;
+# the reference's analogue is O(bases) hash probes,
+# kmer_searcher.cpp:308-349).
+SELECT_BLOCK = 1024
+
+
+def selection_cap(fraction: float, block: int = SELECT_BLOCK) -> int:
+    """Per-block survivor cap: sampling mean + 6 sigma over one block.
+    Poisson-ish occupancy => a block overflowing its cap is ~never for
+    non-repetitive reads; overflow is counted and warned like the global
+    buffer."""
+    mean = fraction * block
+    return max(8, int(mean + 6.0 * mean ** 0.5) + 1)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "hit_buffer", "keep_all")
+    jax.jit, static_argnames=("k", "hit_buffer", "keep_all", "block_cap")
 )
-def stage_candidates(bases, k, hit_buffer, keep_all, seed32, threshold):
+def stage_candidates(bases, k, hit_buffer, keep_all, seed32, threshold,
+                     block_cap=None):
     """Shared candidate-extraction stage: canonical windows + sampling-hash
-    filter + ONE row sort of the strand-packed codes. Computed once and
-    consumed by both the count and the embed stages.
+    filter + candidate selection + ONE narrow row sort of the strand-packed
+    codes. Computed once and consumed by both the count and the embed
+    stages.
+
+    block_cap (static, from selection_cap(fraction)) enables the blocked
+    selection path: the masked planes are sorted in SELECT_BLOCK-wide
+    column blocks (candidates sort to each block's front — one short sort
+    instead of a full-width one), each block keeps its first block_cap
+    columns, and only the (R, G*block_cap) survivor buffer pays the
+    all-planes dedup sort. None (or keep_all, or narrow W) = the original
+    full-width sort.
 
     Returns (planes, n_dropped): planes is the strand-packed
-    (codec.pack_strand) word-plane tuple, each (R, hit_buffer) uint32, rows
-    sorted ascending with the all-ones sentinel on padding — duplicates are
-    KEPT (multiplicity counting needs occurrences; the embed path dedups by
-    adjacency). n_dropped (R,) int32 counts candidate occurrences beyond
-    the buffer."""
+    (codec.pack_strand) word-plane tuple, each (R, width) uint32 with
+    width = hit_buffer (full sort) or min(hit_buffer, G*block_cap)
+    (blocked), rows sorted ascending with the all-ones sentinel on padding
+    — duplicates are KEPT (multiplicity counting needs occurrences; the
+    embed path dedups by adjacency). n_dropped (R,) int32 counts candidate
+    occurrences beyond the staged buffer (blocked: per-block cap overflow
+    counts too)."""
     from fedrann_tpu.kmers.codec import sample_hash32
 
     canon, is_fwd, valid = canonical_window_codes(bases, k)
@@ -254,10 +286,46 @@ def stage_candidates(bases, k, hit_buffer, keep_all, seed32, threshold):
     masked = tuple(
         jnp.where(cand, p, jnp.uint32(0xFFFFFFFF)) for p in planes
     )
-    sorted_planes = _sort_rows(masked)
-    staged = tuple(p[:, :hit_buffer] for p in sorted_planes)
     n_cand = jnp.sum(cand, axis=1).astype(jnp.int32)
-    return staged, jnp.maximum(n_cand - hit_buffer, 0)
+
+    blk = SELECT_BLOCK
+    if keep_all or block_cap is None or w <= 2 * blk:
+        sorted_planes = _sort_rows(masked)
+        staged = tuple(p[:, :hit_buffer] for p in sorted_planes)
+        return staged, jnp.maximum(n_cand - hit_buffer, 0)
+
+    g = -(-w // blk)
+    pad = g * blk - w
+    if pad:
+        masked = tuple(
+            jnp.concatenate(
+                [p, jnp.full((r, pad), 0xFFFFFFFF, jnp.uint32)], axis=1
+            )
+            for p in masked
+        )
+        cand_p = jnp.concatenate([cand, jnp.zeros((r, pad), bool)], axis=1)
+    else:
+        cand_p = cand
+    c = min(int(block_cap), blk)
+    blocks = tuple(p.reshape(r * g, blk) for p in masked)
+    if len(blocks) == 1:
+        sel = (jnp.sort(blocks[0], axis=1),)
+    else:
+        # selection only: plane0 alone is the key (sentinel iff
+        # non-candidate — pack_strand keeps real packed words off the
+        # all-ones value for every k); full (code, strand) ordering comes
+        # from the narrow sort below
+        sel = tuple(jax.lax.sort(blocks, dimension=1, num_keys=1))
+    narrow = tuple(p[:, :c].reshape(r, g * c) for p in sel)
+    sorted_planes = _sort_rows(narrow)
+    width = min(hit_buffer, g * c)
+    staged = tuple(p[:, :width] for p in sorted_planes)
+    # exact drop accounting: per-block survivors are min(count, cap); the
+    # final slice keeps at most `width` of them
+    cnt_blocks = cand_p.reshape(r, g, blk).sum(axis=2).astype(jnp.int32)
+    survivors = jnp.sum(jnp.minimum(cnt_blocks, c), axis=1)
+    staged_n = jnp.minimum(survivors, width)
+    return staged, n_cand - staged_n
 
 
 def staging_width(w: int, fraction: float) -> int:
@@ -385,11 +453,14 @@ def read_hits(
         threshold = jnp.uint32(
             min(int(float(sampling[1]) * 2.0**32), 2**32 - 1)
         )
+        block_cap = selection_cap(float(sampling[1]))
     else:
         seed32 = jnp.uint32(0)
         threshold = jnp.uint32(0)
+        block_cap = None
     staged = stage_candidates(
-        bases, k, hit_buffer, not prefilter, seed32, threshold
+        bases, k, hit_buffer, not prefilter, seed32, threshold,
+        block_cap=block_cap,
     )
     if isinstance(lib, LibraryIndex):
         return read_hits_staged(staged, lib, k)

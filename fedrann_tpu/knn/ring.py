@@ -90,7 +90,7 @@ def _ring_body(en_local, n_dev, k, n_real, precision):
 
 
 def _allgather_body(en_local, n_dev, k, n_real, precision,
-                    candidate_tile: int = 8192):
+                    candidate_tile: int = 131072):
     """all_gather candidates, then a tiled scan with a running top-k: the
     full (B, N) score matrix never materializes (VERDICT r1 weak 5 — the
     untiled form was an HBM wall at multi-million-row rungs; only the
@@ -177,11 +177,15 @@ def _ring2d_body(en_local, n_hosts, n_local, k, n_real, precision):
     return run_dist, run_idx
 
 
-def _make_kernel(mesh, strategy, k, n_real, precision):
+def _make_kernel(mesh, strategy, k, n_real, precision,
+                 candidate_tile: int = 131072):
     """Build the shard_map'ed top-k kernel for a strategy; returns
     (kernel, row_spec). "ring"/"allgather" run on the 1-D data axis;
     "ring2d" needs a 2-D ("hosts", "data") mesh (make_mesh_2d) and rides
-    the ring-over-ring schedule."""
+    the ring-over-ring schedule. candidate_tile (config.knn_candidate_tile)
+    sizes the allgather path's selection blocks — wide blocks measured 8.8x
+    faster than the old 8192 at the dmel rung; the ring paths score each
+    whole per-device block at once, which is already the widest tile."""
     if strategy == "ring2d":
         if HOST_AXIS not in mesh.axis_names:
             raise ValueError(
@@ -194,10 +198,15 @@ def _make_kernel(mesh, strategy, k, n_real, precision):
             n_real=n_real, precision=precision,
         )
         row_spec = P((HOST_AXIS, DATA_AXIS), None)
-    else:
-        body_fn = _ring_body if strategy == "ring" else _allgather_body
+    elif strategy == "allgather":
         body = functools.partial(
-            body_fn, n_dev=mesh.devices.size, k=k, n_real=n_real,
+            _allgather_body, n_dev=mesh.devices.size, k=k, n_real=n_real,
+            precision=precision, candidate_tile=candidate_tile,
+        )
+        row_spec = P(DATA_AXIS, None)
+    else:
+        body = functools.partial(
+            _ring_body, n_dev=mesh.devices.size, k=k, n_real=n_real,
             precision=precision,
         )
         row_spec = P(DATA_AXIS, None)
@@ -215,6 +224,7 @@ def knn_exact_sharded_multihost(
     strategy: str = "ring",
     precision: str = "bf16",
     transfer: str = "f32",
+    candidate_tile: int = 131072,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact cosine top-k over a GLOBAL (multi-process) device mesh.
 
@@ -255,7 +265,8 @@ def knn_exact_sharded_multihost(
 
     n_real = 2 * n_reads_global
     k = min(n_neighbors, n_real)
-    kernel, row_spec = _make_kernel(mesh, strategy, k, n_real, precision)
+    kernel, row_spec = _make_kernel(mesh, strategy, k, n_real, precision,
+                                    candidate_tile)
     garr = jax.make_array_from_process_local_data(
         NamedSharding(mesh, row_spec), local_block,
         (block_rows * jax.process_count(), d)
@@ -291,6 +302,7 @@ def knn_exact_sharded(
     strategy: str = "ring",
     precision: str = "bf16",
     transfer: str = "f32",
+    candidate_tile: int = 131072,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact cosine top-k with rows sharded over the mesh's data axis.
 
@@ -313,7 +325,8 @@ def knn_exact_sharded(
             [padded, jnp.zeros((pad, padded.shape[1]), padded.dtype)]
         )
 
-    kernel, row_spec = _make_kernel(mesh, strategy, k, n, precision)
+    kernel, row_spec = _make_kernel(mesh, strategy, k, n, precision,
+                                    candidate_tile)
 
     @jax.jit
     def run(e):

@@ -154,6 +154,26 @@ def _knn_tiles(en, n_neighbors, query_tile, candidate_tile, precision,
                          precision, method)
 
 
+def _fit_tile(tile: int, n: int, floor: int = 16384) -> int:
+    """Clamp a block size to n, then halve it while the pad-to-multiple
+    waste exceeds ~25% of a block (ADVICE r3: n just past a block boundary
+    — e.g. 131073 at tile 131072 — nearly doubled the scanned columns;
+    halving trades one extra compile for the wasted matmul work)."""
+    t = min(tile, max(8, n))
+    while t > floor and ((-n) % t) > t // 4:
+        t //= 2
+    return t
+
+
+def _fit_stream(stream_rows: int, n: int, query_tile: int) -> int:
+    """Even-size the query slabs: ceil(n / n_slabs) rounded up to the query
+    tile, so a dataset just past a slab boundary runs two ~half slabs
+    instead of one full slab plus one nearly-all-padding slab."""
+    n_slabs = -(-n // stream_rows)
+    per = -(-n // n_slabs)
+    return -(-per // query_tile) * query_tile
+
+
 def knn_exact(
     embeddings: jax.Array,
     n_neighbors: int,
@@ -179,10 +199,11 @@ def knn_exact(
     k = min(n_neighbors, n)
     en = normalize_rows(jnp.asarray(embeddings))
     qt = min(query_tile, max(8, n))
-    ct = min(candidate_tile, max(8, n))
+    ct = _fit_tile(candidate_tile, n)
     if n <= stream_rows:
         dist, idx = _knn_tiles(en, k, qt, ct, precision, method)
         return transfer_idx(idx, transfer, n), transfer_dist(dist, transfer)
+    stream_rows = _fit_stream(stream_rows, n, qt)
 
     idx_out = np.empty((n, k), np.int32)
     dist_out = np.empty((n, k), np.float32)
@@ -233,6 +254,6 @@ def knn_exact_block(
     dist, idx = _knn_tiles_qc(
         jnp.asarray(queries), jnp.asarray(candidates), k,
         min(query_tile, max(8, queries.shape[0])),
-        min(candidate_tile, max(8, n)), precision, method,
+        _fit_tile(candidate_tile, n), precision, method,
     )
     return transfer_idx(idx, transfer, n), transfer_dist(dist, transfer)

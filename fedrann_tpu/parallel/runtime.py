@@ -509,6 +509,7 @@ def run_pipeline_multihost(config):
                     np.asarray(emb_local), n_reads, per, config.n_neighbors,
                     strategy=dcn_strategy, precision=config.knn_precision,
                     transfer=config.knn_transfer,
+                    candidate_tile=config.knn_candidate_tile,
                 )
             # this rank's share of the exact all-vs-all distance work:
             # local query rows x global candidate rows (roofline accounting

@@ -84,10 +84,11 @@ def _pad_chunk(chunk: np.ndarray, rows: int, fill) -> np.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rows", "length", "mode", "k", "hit_buffer", "keep_all"),
+    static_argnames=("rows", "length", "mode", "k", "hit_buffer", "keep_all",
+                     "block_cap"),
 )
 def _stage_chunk_fused(arrs, start, rows, length, mode, k, hit_buffer,
-                       keep_all, seed32, threshold):
+                       keep_all, seed32, threshold, block_cap=None):
     """ONE device program per chunk: dynamic-slice the pre-padded bucket
     upload, decode bases, and run the candidate stage. Fusing the old
     slice -> unpack -> stage dispatch chain matters twice on this platform:
@@ -107,7 +108,8 @@ def _stage_chunk_fused(arrs, start, rows, length, mode, k, hit_buffer,
     else:
         vb = jax.lax.dynamic_slice_in_dim(arrs[1], start, rows, axis=0)
         bases = unpack_bases(sl, vb, length)
-    return stage_candidates(bases, k, hit_buffer, keep_all, seed32, threshold)
+    return stage_candidates(bases, k, hit_buffer, keep_all, seed32, threshold,
+                            block_cap=block_cap)
 
 
 def _pad_rows_device(arr: jax.Array, multiple: int, fill) -> jax.Array:
@@ -131,7 +133,7 @@ def _stage_chunks(packed: PackedReads, config: PipelineConfig,
     Returns [(staged_triple, host read_index (rows,))]. metrics (if given)
     accrues the host->device upload bytes for roofline accounting."""
     from fedrann_tpu.io.packing import INVALID
-    from fedrann_tpu.kmers.membership import staging_width
+    from fedrann_tpu.kmers.membership import selection_cap, staging_width
 
     import time as _time
 
@@ -206,6 +208,8 @@ def _stage_chunks(packed: PackedReads, config: PipelineConfig,
         if config.max_hits_per_read is not None:
             hit_buffer = min(hit_buffer,
                              max(8, -(-config.max_hits_per_read // 8) * 8))
+        block_cap = (None if keep_all
+                     else selection_cap(config.kmer_sample_fraction))
         h2d_bytes += sum(int(a.nbytes) for a in arrs)
         for start in range(0, n_rows_total, rows):
             idx = _pad_chunk(
@@ -214,6 +218,7 @@ def _stage_chunks(packed: PackedReads, config: PipelineConfig,
             staged = _stage_chunk_fused(
                 arrs, start, rows, length, mode, config.kmer_size,
                 hit_buffer, keep_all, seed32, threshold,
+                block_cap=block_cap,
             )
             out.append((staged, idx))
     if metrics is not None:
@@ -614,6 +619,7 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                     strategy=config.knn_shard_strategy,
                     precision=config.knn_precision,
                     transfer=config.knn_transfer,
+                    candidate_tile=config.knn_candidate_tile,
                 )
             else:
                 idx, dist = knn_exact(

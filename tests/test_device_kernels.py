@@ -391,6 +391,55 @@ def test_staged_candidates_path_matches_classic(k):
     assert np.array_equal(np.asarray(classic[1]), np.asarray(got[1]))
 
 
+@pytest.mark.parametrize("k", [13, 21])
+def test_blocked_selection_matches_full_sort(k):
+    """The blocked candidate selection (block_cap set, wide bucket) must
+    stage exactly the same candidate multiset as the full-width sort: same
+    sorted planes content, same drop counts (zero at 6-sigma capacity), and
+    identical downstream feature rows."""
+    from fedrann_tpu.kmers.membership import (
+        SELECT_BLOCK,
+        build_library_index,
+        read_hits_staged,
+        selection_cap,
+        stage_candidates,
+    )
+
+    # bucket must exceed 2*SELECT_BLOCK for the blocked path to engage
+    sim = simulate_reads(genome_length=30000, coverage=3,
+                         mean_read_length=3500, seed=21)
+    seed, frac = 602, 0.05
+    lib = oracle.build_library(sim.sequences, k, 2, frac, seed)
+    packed = pack_reads(
+        [FastxRecord(n, s) for n, s in zip(sim.names, sim.sequences)],
+        length_buckets=(4 * SELECT_BLOCK,),
+    )
+    bases = jnp.asarray(packed.buckets[0].bases)
+    seed32 = jnp.uint32(seed)
+    thr = jnp.uint32(int(frac * 2**32))
+    hb = 512
+    full = stage_candidates(bases, k, hb, False, seed32, thr)
+    blocked = stage_candidates(bases, k, hb, False, seed32, thr,
+                               block_cap=selection_cap(frac))
+    assert blocked[0][0].shape[1] <= hb
+    w_b = blocked[0][0].shape[1]
+    # the final staged planes are both sorted ascending: the blocked path
+    # must agree with the full sort over its (possibly narrower) width
+    for pf, pb in zip(full[0], blocked[0]):
+        assert np.array_equal(np.asarray(pf)[:, :w_b], np.asarray(pb))
+    assert np.array_equal(np.asarray(full[1]), np.asarray(blocked[1]))
+    assert np.asarray(blocked[1]).sum() == 0
+    index = build_library_index(lib.codes, k)
+    h_f = read_hits_staged(full, index, k)
+    h_b = read_hits_staged(blocked, index, k)
+    sent = 2 * lib.size
+    hf, hb_rows = np.asarray(h_f[0]), np.asarray(h_b[0])
+    for r in range(hf.shape[0]):
+        assert np.array_equal(np.sort(hf[r][hf[r] != sent]),
+                              np.sort(hb_rows[r][hb_rows[r] != sent]))
+    assert np.array_equal(np.asarray(h_f[1]), np.asarray(h_b[1]))
+
+
 def test_distance_u16_transfer_roundtrip():
     """u16 wire format: max rounding error bounded by 1/(2*DIST_SCALE) over
     the full [0, 2] cosine-distance range; negatives clip to 0."""
