@@ -21,6 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from configs import CONFIGS  # noqa: E402
 
+# Largest rung that still gets ground-truth recall. The sweep in
+# sim.truth_overlaps is O(N x overlaps-per-read), not O(N^2): chr1's 360k
+# reads (~8M truth pairs) take a few minutes of host time, paid AFTER the
+# timed pipeline run so it never contends with the measurement.
+RECALL_MAX_READS = 400_000
+
 
 def run_one(cfg, warm: bool = True) -> dict:
     from fedrann_tpu.cli import config_from_args
@@ -48,7 +54,15 @@ def run_one(cfg, warm: bool = True) -> dict:
         # virtio throttle, not the pipeline. FEDRANN_BENCH_WORK overrides.
         work_root = os.environ.get("FEDRANN_BENCH_WORK")
         if work_root is None:
-            work_root = ("/dev/shm/fedrann_bench" if os.path.isdir("/dev/shm")
+            # tmpfs only when it can hold the fasta (~genome*coverage bytes)
+            # plus the fxcache (~0.7x) with headroom — on small hosts a
+            # 3.6 GB chr1 fasta in RAM would evict/OOM the run (ADVICE r3)
+            need = int(cfg.genome * cfg.coverage * 2.0)
+            shm_ok = False
+            if os.path.isdir("/dev/shm"):
+                st = os.statvfs("/dev/shm")
+                shm_ok = st.f_bavail * st.f_frsize > need
+            work_root = ("/dev/shm/fedrann_bench" if shm_ok
                          else os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                            "_work"))
         tmp = os.path.join(work_root, cfg.name.split(":")[0])
@@ -65,8 +79,6 @@ def run_one(cfg, warm: bool = True) -> dict:
             write_fasta(fasta, sim.names, sim.sequences)
             with open(meta_path, "w") as f:
                 json.dump({"n_reads": n_reads}, f)
-        if n_reads <= 100_000 and sim is None:
-            sim = _sim()  # needed for truth recall below
         args = [
             "-i", fasta, "-o", os.path.join(tmp, "out"),
             "-k", str(cfg.k),
@@ -85,9 +97,13 @@ def run_one(cfg, warm: bool = True) -> dict:
         result = run_pipeline(config)
         wall = time.perf_counter() - t0
 
+    if n_reads <= RECALL_MAX_READS and sim is None:
+        # deterministic re-derivation (seed-fixed) for ground truth; done
+        # after the timed run so sim CPU never contends with the pipeline
+        sim = _sim()
     truth = (sim.truth_overlaps(min_overlap=max(500, cfg.read_len // 4))
-             if sim is not None and n_reads <= 100_000
-             else None)  # O(N^2)-ish at huge N
+             if sim is not None and n_reads <= RECALL_MAX_READS
+             else None)
     recall = (
         truth_recall(result.neighbor_indices, truth, n_reads)
         if truth else float("nan")
@@ -110,6 +126,12 @@ def run_one(cfg, warm: bool = True) -> dict:
         "wall_s": round(wall, 2),
         "stages_s": {k: round(v["seconds"], 2)
                      for k, v in result.metrics.items()},
+        "roofline": {k: {m: v[m] for m in
+                         ("mfu_pct", "hbm_util_pct", "tflops_per_s")
+                         if m in v}
+                     for k, v in result.metrics.items()
+                     if any(m in v for m in
+                            ("mfu_pct", "hbm_util_pct", "tflops_per_s"))},
         "library_size": result.library.size,
         "truth_recall": round(recall, 4),
         "models": cfg.models,

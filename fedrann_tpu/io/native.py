@@ -39,6 +39,16 @@ class _FastxParsed(ctypes.Structure):
     ]
 
 
+class _FastxScan(ctypes.Structure):
+    _fields_ = [
+        ("rec_offsets", ctypes.POINTER(ctypes.c_uint64)),
+        ("names", ctypes.POINTER(ctypes.c_char)),
+        ("name_offsets", ctypes.POINTER(ctypes.c_uint64)),
+        ("n_records", ctypes.c_uint64),
+        ("names_bytes", ctypes.c_uint64),
+    ]
+
+
 _lib = None
 
 
@@ -57,6 +67,20 @@ def load_native() -> Optional[ctypes.CDLL]:
     lib.fastx_parse_threads.restype = ctypes.c_int
     lib.fastx_free.argtypes = [ctypes.POINTER(_FastxParsed)]
     lib.fastx_free.restype = None
+    lib.fastx_parse_range.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int,
+        ctypes.POINTER(_FastxParsed),
+    ]
+    lib.fastx_parse_range.restype = ctypes.c_int
+    lib.fastx_scan_range.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.POINTER(_FastxScan),
+    ]
+    lib.fastx_scan_range.restype = ctypes.c_int
+    lib.fastx_scan_free.argtypes = [ctypes.POINTER(_FastxScan)]
+    lib.fastx_scan_free.restype = None
+    lib.fastx_is_plain_fasta.argtypes = [ctypes.c_char_p]
+    lib.fastx_is_plain_fasta.restype = ctypes.c_int
     lib.fastx_fill_bucket.argtypes = [
         ctypes.POINTER(ctypes.c_uint8),   # codes
         ctypes.POINTER(ctypes.c_uint64),  # offsets
@@ -189,17 +213,58 @@ def native_available() -> bool:
     return load_native() is not None
 
 
-def parse_fastx_native(path: str, threads: int = 1):
+def is_plain_fasta(path: str) -> bool:
+    """True when the input is uncompressed FASTA (byte-range parseable:
+    gzip has no random access; FASTQ '@' is line-ambiguous)."""
+    lib = load_native()
+    if lib is None:
+        return False
+    return bool(lib.fastx_is_plain_fasta(path.encode()))
+
+
+def scan_records_native(path: str, lo: int, hi: int):
+    """Record-boundary scan over file bytes [lo, hi): returns (names list,
+    absolute byte offsets int64 array) for every record STARTING in the
+    range — no base decoding, so a rank scanning 1/ranks of a file does
+    ~1/ranks of the I/O. Plain FASTA only (raises otherwise)."""
+    lib = load_native()
+    if lib is None:
+        raise RuntimeError("native fastxpack library not built (make -C native)")
+    scan = _FastxScan()
+    rc = lib.fastx_scan_range(path.encode(), int(lo), int(hi),
+                              ctypes.byref(scan))
+    if rc != 0:
+        raise ValueError(f"fastx_scan_range failed with code {rc} for {path}")
+    try:
+        n = int(scan.n_records)
+        offsets = (np.ctypeslib.as_array(scan.rec_offsets, shape=(max(n, 1),))
+                   [:n].astype(np.int64))
+        raw = ctypes.string_at(scan.names, scan.names_bytes)
+        names = raw.decode("latin-1").split("\x00")[:n]
+    finally:
+        lib.fastx_scan_free(ctypes.byref(scan))
+    return names, offsets
+
+
+def parse_fastx_native(path: str, threads: int = 1,
+                       byte_range: tuple[int, int] | None = None):
     """Parse with the C++ library. Returns (names list, codes uint8 array,
     offsets uint64 array). Raises on parse errors. threads > 1 parallelizes
     plain-FASTA parsing (segmented at record starts); gzip/FASTQ inputs
-    stream single-threaded."""
+    stream single-threaded. byte_range=(lo, hi) parses only records in that
+    file-byte span (lo/hi must be exact record starts from
+    scan_records_native; plain FASTA only)."""
     lib = load_native()
     if lib is None:
         raise RuntimeError("native fastxpack library not built (make -C native)")
     parsed = _FastxParsed()
-    rc = lib.fastx_parse_threads(path.encode(), int(max(1, threads)),
-                                 ctypes.byref(parsed))
+    if byte_range is not None:
+        rc = lib.fastx_parse_range(path.encode(), int(byte_range[0]),
+                                   int(byte_range[1]), int(max(1, threads)),
+                                   ctypes.byref(parsed))
+    else:
+        rc = lib.fastx_parse_threads(path.encode(), int(max(1, threads)),
+                                     ctypes.byref(parsed))
     if rc != 0:
         raise ValueError(f"fastx_parse failed with code {rc} for {path}")
     try:
@@ -225,6 +290,7 @@ def pack_reads_native(
     bit_packed: bool = False,
     threads: int = 1,
     split_overlap: int | None = None,
+    byte_range: tuple[int, int] | None = None,
 ) -> PackedReads:
     """Native-parse + vectorized numpy bucketing; behaviorally identical to
     pack_reads(read_fastx(path), ...). bit_packed=True stores the 2-bit
@@ -234,7 +300,8 @@ def pack_reads_native(
     longer than the largest bucket instead of truncating them."""
     from fedrann_tpu.io.packing import segment_spans
 
-    names, codes, offsets = parse_fastx_native(path, threads)
+    names, codes, offsets = parse_fastx_native(path, threads,
+                                               byte_range=byte_range)
     buckets = sorted(length_buckets)
     lengths = np.diff(offsets).astype(np.int64)
     bucket_of = np.searchsorted(buckets, lengths)

@@ -191,6 +191,144 @@ def _ivf_search(en: jax.Array, member: jax.Array, qtab: jax.Array,
     return -neg, jnp.take_along_axis(merged_i, pos, axis=1)
 
 
+def _ivf_search_sharded_body(en_local, member_l, qtab_l, stab_l, *,
+                             n_probes, kk, k, n_real, n_pad, precision,
+                             method, data_axis):
+    """Per-device body of the cluster-sharded IVF search (runs inside
+    shard_map). en_local: (B, d) normalized local query/candidate rows;
+    member_l/qtab_l/stab_l: this device's (C/D, .) slice of the cluster
+    tables. Candidate gathers need arbitrary global rows, so the rows are
+    all_gather'ed once (bf16 halves the ICI payload); the per-(query,
+    probe-slot) partial results are disjoint across clusters — and hence
+    across devices — so the merge buffer reduces with ONE psum_scatter
+    back to the query-row sharding instead of a full psum."""
+    b, d = en_local.shape
+    en_mm = (en_local.astype(jnp.bfloat16) if precision == "bf16"
+             else en_local)
+    en_all = jax.lax.all_gather(en_mm, data_axis, tiled=True)  # (Np, d)
+
+    def per_cluster(inputs):
+        mem_c, q_c = inputs                      # (M,), (Qm,)
+        cand = en_all[jnp.clip(mem_c, 0, n_pad - 1)]
+        q = en_all[jnp.clip(q_c, 0, n_pad - 1)]
+        scores = jax.lax.dot_general(
+            q, cand, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        scores = jnp.where(mem_c[None, :] >= n_real, -jnp.inf, scores)
+        s, i = _topk_scores(scores, kk, method)
+        idx = mem_c[i.astype(jnp.int32)]
+        return 1.0 - s, idx                      # (Qm, kk)
+
+    dist_c, idx_c = jax.lax.map(per_cluster, (member_l, qtab_l))
+
+    # disjoint-write merge: sentinel queries (qtab == n_pad) drop out of
+    # bounds; idx+1 makes 0 the "never written" marker so the additive
+    # reduce_scatter is exact (each slot has exactly one non-zero source)
+    buf_dist = jnp.zeros((n_pad, n_probes, kk), jnp.float32)
+    buf_idx = jnp.zeros((n_pad, n_probes, kk), jnp.int32)
+    buf_dist = buf_dist.at[qtab_l, stab_l].set(dist_c, mode="drop")
+    buf_idx = buf_idx.at[qtab_l, stab_l].set(idx_c + 1, mode="drop")
+    loc_dist = jax.lax.psum_scatter(buf_dist, data_axis,
+                                    scatter_dimension=0, tiled=True)
+    loc_idx = jax.lax.psum_scatter(buf_idx, data_axis,
+                                   scatter_dimension=0, tiled=True)
+    merged_d = jnp.where(loc_idx == 0, jnp.inf, loc_dist).reshape(
+        b, n_probes * kk)
+    merged_i = (loc_idx - 1).reshape(b, n_probes * kk)
+    neg, pos = jax.lax.top_k(-merged_d, min(k, n_probes * kk))
+    out_i = jnp.take_along_axis(merged_i, pos, axis=1)
+    out_d = -neg
+    return out_d, jnp.where(jnp.isinf(out_d), -1, out_i)
+
+
+def knn_ivf_sharded(
+    embeddings: jax.Array,
+    n_neighbors: int,
+    mesh,
+    n_clusters: int | None = None,
+    n_probes: int = 8,
+    kmeans_iters: int = 3,
+    precision: str = "bf16",
+    method: str = "exact",
+    transfer: str = "f32",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sub-quadratic IVF k-NN sharded over the mesh's data axis.
+
+    Composes the scaling valve with the mesh (VERDICT r3 item 3b — the
+    reference scales pynndescent with n_jobs, nearest_neighbors.py:49;
+    before this the mesh silently fell back to exact): the k-means
+    assignment + probe construction run GSPMD row-sharded (XLA inserts the
+    segment-sum psum), the cluster tables are built replicated (cheap int
+    ops), and the expensive probed-rescore is explicitly cluster-sharded
+    via shard_map — each device scores C/D clusters and ONE additive
+    reduce_scatter returns results to the query-row sharding. Output
+    contract identical to knn_ivf/knn_exact.
+    """
+    from fedrann_tpu.parallel.mesh import DATA_AXIS, shard_map_norep
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = int(embeddings.shape[0])
+    n_dev = int(mesh.devices.size)
+    c = n_clusters or auto_clusters(n)
+    c = -(-c // n_dev) * n_dev  # shard_map slices the cluster axis evenly
+    if n < 4 * c or (n_clusters is None and n <= 4096):
+        from fedrann_tpu.knn.ring import knn_exact_sharded
+
+        logger.info("knn_ivf_sharded: N=%d too small for C=%d clusters; "
+                    "sharded exact path", n, c)
+        return knn_exact_sharded(embeddings, n_neighbors, mesh=mesh,
+                                 precision=precision, transfer=transfer)
+    k = min(n_neighbors, n)
+    p = min(n_probes, c)
+
+    en = normalize_rows(jnp.asarray(embeddings))
+    n_pad = -(-n // n_dev) * n_dev
+    if n_pad > n:
+        en = jnp.concatenate(
+            [en, jnp.zeros((n_pad - n, en.shape[1]), en.dtype)])
+    row_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+    en = jax.device_put(en, row_sharding)
+
+    # phase 1 (GSPMD row-sharded): k-means + per-query probe lists; the
+    # two table widths are the same host syncs the single-device path pays
+    cent, a, counts = _kmeans(en, c, kmeans_iters)
+    probes, qcounts = _probe_lists(en, cent, p)
+    counts_h = np.asarray(counts)
+    qcounts_h = np.asarray(qcounts)
+    m = int(-(-int(counts_h.max()) // 128) * 128)
+    qm = int(-(-int(qcounts_h.max()) // 128) * 128)
+    kk = min(k, m)
+    logger.info(
+        "knn_ivf_sharded: %d rows over %d devices, C=%d clusters "
+        "(max %d rows), p=%d probes (max %d queries/cluster)",
+        n, n_dev, c, int(counts_h.max()), p, int(qcounts_h.max()),
+    )
+    # table sentinel is a.shape[0] == n_pad: sentinel members mask via
+    # >= n_real, sentinel queries drop as out-of-bounds scatter rows
+    member = _member_table(a, counts, c, m)
+    qtab, stab = _probe_tables(probes, qcounts, c, qm)
+
+    # phase 2 (shard_map cluster-sharded search)
+    cluster_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+    member = jax.device_put(member, cluster_sharding)
+    qtab = jax.device_put(qtab, cluster_sharding)
+    stab = jax.device_put(stab, cluster_sharding)
+    body = functools.partial(
+        _ivf_search_sharded_body, n_probes=p, kk=kk, k=k, n_real=n,
+        n_pad=n_pad, precision=precision, method=method,
+        data_axis=DATA_AXIS,
+    )
+    kernel = jax.jit(shard_map_norep(
+        body, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None),) * 4,
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+    ))
+    dist, idx = kernel(en, member, qtab, stab)
+    dist, idx = dist[:n], idx[:n]
+    return transfer_idx(idx, transfer, n), transfer_dist(dist, transfer)
+
+
 def knn_ivf(
     embeddings: jax.Array,
     n_neighbors: int,

@@ -581,13 +581,22 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                     method=config.knn_topk_method,
                     transfer=config.knn_transfer,
                 )
+            elif use_mesh and config.knn_method == "ivf":
+                from fedrann_tpu.knn.ivf import knn_ivf_sharded
+                from fedrann_tpu.parallel.mesh import make_mesh
+
+                mesh = make_mesh(config.mesh_shape)
+                logger.info("IVF k-NN sharded over %d devices",
+                            mesh.devices.size)
+                idx, dist = knn_ivf_sharded(
+                    emb, config.n_neighbors, mesh=mesh,
+                    n_clusters=config.knn_ivf_clusters,
+                    n_probes=config.knn_ivf_probes,
+                    precision=config.knn_precision,
+                    method=config.knn_topk_method,
+                    transfer=config.knn_transfer,
+                )
             elif use_mesh:
-                if config.knn_method == "ivf":
-                    logger.warning(
-                        "knn_method=ivf is single-device for now; the "
-                        "sharded mesh run uses the exact %s schedule",
-                        config.knn_shard_strategy,
-                    )
                 from fedrann_tpu.knn.ring import knn_exact_sharded
                 from fedrann_tpu.parallel.mesh import make_mesh, make_mesh_2d
 
@@ -636,7 +645,7 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
             # halves both when active — knn/topk.py)
             n_rows_knn = int(emb.shape[0])
             flops = 2.0 * n_rows_knn * n_rows_knn * emb.shape[1]
-            if config.knn_method == "ivf" and not use_mesh:
+            if config.knn_method == "ivf":
                 from fedrann_tpu.knn.ivf import auto_clusters
 
                 c_eff = config.knn_ivf_clusters or auto_clusters(n_rows_knn)

@@ -346,12 +346,24 @@ void parse_fasta_span(const char* data, size_t begin, size_t end, Buffers* b) {
   }
 }
 
-int parse_mt(const char* path, int threads, Buffers* out) {
+// Parse plain-FASTA records inside byte range [lo, hi) of the file. lo
+// must be 0 or an exact record start ('>' following '\n'); hi an exact
+// record start or EOF — multi-host ranks get these from fastx_scan_range,
+// so each rank reads ONLY its ~1/ranks share of the input (SURVEY §2.8
+// host-side sharded I/O; the full-reparse fallback was O(input x ranks)).
+int parse_mt_range(const char* path, uint64_t lo, uint64_t hi, int threads,
+                   Buffers* out) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   fseek(f, 0, SEEK_END);
-  long sz = ftell(f);
-  fseek(f, 0, SEEK_SET);
+  uint64_t fsz = (uint64_t)ftell(f);
+  if (hi > fsz) hi = fsz;
+  if (lo >= hi) {
+    fclose(f);
+    return -2;
+  }
+  uint64_t sz = hi - lo;
+  fseek(f, (long)lo, SEEK_SET);
   std::vector<char> data((size_t)sz);
   if (fread(data.data(), 1, (size_t)sz, f) != (size_t)sz) {
     fclose(f);
@@ -399,6 +411,10 @@ int parse_mt(const char* path, int threads, Buffers* out) {
       out->name_offsets.push_back(name_base + off);
   }
   return 0;
+}
+
+int parse_mt(const char* path, int threads, Buffers* out) {
+  return parse_mt_range(path, 0, ~0ULL, threads, out);
 }
 
 }  // namespace
@@ -639,6 +655,148 @@ int64_t fastx_write_overlaps(const char* path, const char* names,
   }
   fclose(f);
   return (int64_t)n_rows;
+}
+
+// Parse only records whose '>' lies at byte lo (exactly) through byte hi
+// (an exact record start or EOF). Plain FASTA only: gzip cannot be
+// random-accessed and FASTQ '@' is ambiguous — callers detect via
+// fastx_is_plain_fasta and fall back to the full parse. rc -6 = not plain.
+int fastx_parse_range(const char* path, uint64_t lo, uint64_t hi,
+                      int threads, FastxParsed* out) {
+  if (!looks_plain_fasta(path)) return -6;
+  Buffers b;
+  int rc = parse_mt_range(path, lo, hi, threads < 1 ? 1 : threads, &b);
+  if (rc != 0) return rc;
+  out->n_reads = b.offsets.size() - 1;
+  out->total_bases = b.codes.size();
+  out->names_bytes = b.names.size();
+  out->codes = (uint8_t*)malloc(b.codes.size() ? b.codes.size() : 1);
+  memcpy(out->codes, b.codes.data(), b.codes.size());
+  out->offsets = (uint64_t*)malloc(b.offsets.size() * sizeof(uint64_t));
+  memcpy(out->offsets, b.offsets.data(), b.offsets.size() * sizeof(uint64_t));
+  out->names = (char*)malloc(b.names.size() ? b.names.size() : 1);
+  memcpy(out->names, b.names.data(), b.names.size());
+  out->name_offsets =
+      (uint64_t*)malloc((out->n_reads ? out->n_reads : 1) * sizeof(uint64_t));
+  memcpy(out->name_offsets, b.name_offsets.data(),
+         out->n_reads * sizeof(uint64_t));
+  return 0;
+}
+
+int fastx_is_plain_fasta(const char* path) {
+  return looks_plain_fasta(path) ? 1 : 0;
+}
+
+struct FastxScan {
+  uint64_t* rec_offsets;   // absolute byte offset of each record's '>'
+  char* names;             // concatenated, NUL-separated
+  uint64_t* name_offsets;  // n_records offsets into names
+  uint64_t n_records;
+  uint64_t names_bytes;
+};
+
+// Cheap record-boundary scan over byte range [lo, hi): offsets + names of
+// every record STARTING in the range, no base decoding. Each multi-host
+// rank scans 1/ranks of the file; offsets+names allgather over DCN (they
+// are ~1% of the input bytes), after which every rank knows the exact
+// byte range of any record interval for fastx_parse_range. rc -6 = not
+// plain FASTA.
+int fastx_scan_range(const char* path, uint64_t lo, uint64_t hi,
+                     FastxScan* out) {
+  if (!looks_plain_fasta(path)) return -6;
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  fseek(f, 0, SEEK_END);
+  uint64_t fsz = (uint64_t)ftell(f);
+  if (hi > fsz) hi = fsz;
+  if (lo > hi) lo = hi;
+  // read [base, hi): one byte before lo so "record start" ('>' after
+  // '\n') is decidable at lo itself
+  uint64_t base = lo > 0 ? lo - 1 : 0;
+  std::vector<char> data((size_t)(hi - base));
+  fseek(f, (long)base, SEEK_SET);
+  if (fread(data.data(), 1, data.size(), f) != data.size()) {
+    fclose(f);
+    return -5;
+  }
+  std::vector<uint64_t> offs;
+  std::vector<char> names;
+  std::vector<uint64_t> name_offs;
+  size_t i = (lo > 0) ? 1 : 0;  // index of byte lo within data
+  while (i < data.size()) {
+    bool at_start = (base + i == 0) ? data[i] == '>'
+                                    : (data[i] == '>' && data[i - 1] == '\n');
+    if (!at_start) {
+      ++i;
+      continue;
+    }
+    offs.push_back(base + i);
+    // name = first token after '>'; the line may extend past hi — stream
+    // extra bytes until its newline
+    size_t ns = i + 1, ne = ns;
+    std::string tail;
+    const char* line = data.data();
+    size_t limit = data.size();
+    while (true) {
+      while (ne < limit && line[ne] != '\n' && line[ne] != ' ' &&
+             line[ne] != '\t' && line[ne] != '\r')
+        ++ne;
+      if (ne < limit || base + limit >= fsz) break;
+      // token continues past the buffer: pull the rest of the line in
+      tail.assign(data.begin() + ns, data.end());
+      char chunk[65536];
+      uint64_t pos = base + data.size();
+      bool done = false;
+      fseek(f, (long)pos, SEEK_SET);
+      while (!done) {
+        size_t got = fread(chunk, 1, sizeof(chunk), f);
+        if (!got) break;
+        for (size_t j = 0; j < got; ++j) {
+          char c = chunk[j];
+          if (c == '\n' || c == ' ' || c == '\t' || c == '\r') {
+            done = true;
+            break;
+          }
+          tail.push_back(c);
+        }
+        if (pos + got >= fsz) break;
+        pos += got;
+      }
+      line = tail.data();
+      ns = 0;
+      ne = tail.size();
+      limit = tail.size();
+      break;
+    }
+    name_offs.push_back(names.size());
+    names.insert(names.end(), line + ns, line + ne);
+    names.push_back('\0');
+    // skip to next line inside the buffer
+    while (i < data.size() && data[i] != '\n') ++i;
+    ++i;
+  }
+  fclose(f);
+  out->n_records = offs.size();
+  out->names_bytes = names.size();
+  out->rec_offsets = (uint64_t*)malloc((offs.size() ? offs.size() : 1) *
+                                       sizeof(uint64_t));
+  memcpy(out->rec_offsets, offs.data(), offs.size() * sizeof(uint64_t));
+  out->names = (char*)malloc(names.size() ? names.size() : 1);
+  memcpy(out->names, names.data(), names.size());
+  out->name_offsets = (uint64_t*)malloc(
+      (name_offs.size() ? name_offs.size() : 1) * sizeof(uint64_t));
+  memcpy(out->name_offsets, name_offs.data(),
+         name_offs.size() * sizeof(uint64_t));
+  return 0;
+}
+
+void fastx_scan_free(FastxScan* s) {
+  free(s->rec_offsets);
+  free(s->names);
+  free(s->name_offsets);
+  s->rec_offsets = nullptr;
+  s->names = nullptr;
+  s->name_offsets = nullptr;
 }
 
 void fastx_free(FastxParsed* p) {
