@@ -25,6 +25,9 @@ class BenchConfig:
     error_rate: float = 0.05
     length_bucket: int = 16384
     topk_method: str = "exact"  # 'approx' = lax.approx_max_k block selection
+    # extra CLI flags appended verbatim (e.g. the human rung's forced
+    # --knn-hbm-budget that trips the out-of-core valve, docs/SCALING.md)
+    extra_args: tuple = ()
     # BASELINE.json rung this models
     models: str = ""
 
@@ -50,5 +53,18 @@ CONFIGS = {
         name="chr1", genome=120_000_000, coverage=30, read_len=10000, k=15,
         sample_fraction=0.005, topk_method="approx",
         models="Human chr1 ONT ~30x (multi-host data-parallel rung)",
+    ),
+    # The pod-scale streaming rung, scaled to what this host can simulate:
+    # 720k reads x d=512 -> a 4.4 GB k-NN working set, forced past a 2 GB
+    # HBM budget so the run exercises the FULL out-of-core path (host-mode
+    # embed, chunked normalize, slab/block streaming search) at an honest
+    # scale. docs/SCALING.md derives the same model at the real 2e7-read
+    # whole-human shape.
+    "human": BenchConfig(
+        name="human", genome=240_000_000, coverage=30, read_len=10000, k=15,
+        sample_fraction=0.005, topk_method="approx",
+        extra_args=("--knn-hbm-budget", "2G"),
+        models="Whole-human ONT ~30x pod-scale streaming rung "
+               "(out-of-core k-NN past a forced 2 GB HBM budget)",
     ),
 }

@@ -89,6 +89,7 @@ def run_one(cfg, warm: bool = True) -> dict:
             "--seed", "602", "--length-buckets", str(cfg.length_bucket),
             "--knn-topk-method", cfg.topk_method,
             "--threads", "4",
+            *cfg.extra_args,
         ]
         config = config_from_args(args)
         if warm:

@@ -96,6 +96,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default="bf16",
                    help="Projection-table storage dtype (accumulation is "
                         "always f32).")
+    p.add_argument("--knn-hbm-budget", type=str, default=None,
+                   help="HBM budget for the k-NN working set, e.g. '8G', "
+                        "'512M', or bytes. Embedding matrices past it are "
+                        "built host-resident and searched out-of-core with "
+                        "streamed candidate blocks (the whole-human pod-"
+                        "scale valve; docs/SCALING.md). Default: off.")
     p.add_argument("--knn-transfer", choices=("u16", "f32"), default="u16",
                    help="Distance wire format for the device->host copy "
                         "(u16 halves the payload; ~3e-5 max rounding).")
@@ -132,6 +138,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--coordinator", default=None,
                    help="host:port of rank 0 (JAX_COORDINATOR_ADDRESS).")
     return p
+
+
+def parse_bytes(s: str | None) -> int | None:
+    """'8G' / '512M' / '64K' / plain bytes -> int bytes (binary units)."""
+    if s is None:
+        return None
+    s = s.strip().upper().removesuffix("B")
+    units = {"K": 1 << 10, "M": 1 << 20, "G": 1 << 30, "T": 1 << 40}
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)
 
 
 def config_from_args(argv: list[str] | None = None) -> PipelineConfig:
@@ -178,6 +195,7 @@ def config_from_args(argv: list[str] | None = None) -> PipelineConfig:
         knn_ivf_clusters=args.knn_ivf_clusters,
         knn_ivf_probes=args.knn_ivf_probes,
         knn_transfer=args.knn_transfer,
+        knn_hbm_budget=parse_bytes(args.knn_hbm_budget),
         projection_dtype=args.projection_dtype,
         length_buckets=tuple(int(x) for x in args.length_buckets.split(",")),
         import_library=args.import_library,

@@ -98,6 +98,14 @@ class PipelineConfig:
     # "auto": shard the k-NN over all devices when more than one is visible;
     # "never": single-device; "always": require a mesh (error if 1 device).
     knn_sharded: str = "auto"
+    # Out-of-core k-NN valve (knn/ooc.py, docs/SCALING.md): an HBM budget
+    # in BYTES. When the embedding matrix + k-NN working set (~6 bytes per
+    # element: f32 matrix + bf16 search copy) would exceed it, the
+    # embeddings are built HOST-resident (compute_embeddings out='host')
+    # and searched out-of-core with streamed candidate blocks. None = off
+    # (in-core device-resident path). The pod-scale whole-human rung
+    # (BASELINE.json) runs through this valve.
+    knn_hbm_budget: Optional[int] = None
     # Distance wire format for the k-NN device->host copy: "u16" halves
     # the payload (~3.1e-5 max rounding error — knn/topk.py quantize_dist);
     # "f32" is the exact copy. Device->host runs at ~20 MB/s here, so the
@@ -162,3 +170,8 @@ class PipelineConfig:
             raise ValueError("knn_method must be 'exact' or 'ivf'")
         if self.knn_ivf_probes < 1:
             raise ValueError("knn_ivf_probes must be >= 1")
+        if self.knn_hbm_budget is not None and self.knn_hbm_budget < (1 << 20):
+            raise ValueError(
+                "knn_hbm_budget must be at least 1 MiB (plan_ooc floors "
+                "the block and tile sizes; a budget below them is "
+                "unsatisfiable, not just slow)")

@@ -1,0 +1,210 @@
+"""Out-of-core exact k-NN: embedding matrices larger than one chip's HBM.
+
+The pod-scale rung (BASELINE.json "whole-human ONT 30x / metagenome mix")
+puts the (2R, d) embedding matrix past a single chip's HBM: 2e7 reads ->
+4e7 rows x 512 f32 = 82 GB vs 16 GB HBM. The reference's answer at that
+scale is disk + sampling (README.md:33-49, pynndescent over a memory-
+mapped matrix); the TPU-native answer here is out-of-core blocked search:
+
+- the matrix stays HOST-resident in bf16 (half the RAM and half of every
+  upload; fp32 accumulation on device keeps the scores exact to bf16
+  input rounding, same as the in-core path's cast);
+- query super-slabs are sized to fill the HBM budget, so the number of
+  candidate sweeps — and with it the total host->device traffic,
+  n_slabs x N x d x 2 bytes — is minimal;
+- candidate blocks stream through a DONATED running-top-k carry
+  (scores/indices never re-allocate), with the next block's device_put
+  issued before the current block's compute is consumed so the upload
+  rides under the MXU work;
+- per-slab results cross back in one small (slab, k) copy.
+
+The search itself is exact (same tiled MXU scan as knn/topk.py); only the
+residency changes. docs/SCALING.md derives the memory model at 2e7 rows.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+
+from fedrann_tpu.knn.topk import _topk_scores, transfer_dist, transfer_idx
+
+logger = logging.getLogger("fedrann")
+
+# Default candidate-block rows per upload. 256k rows x 512 dims x 2 B =
+# 256 MB per block: big enough that per-launch tunnel latency amortizes,
+# small enough that double-buffering two blocks leaves the budget to the
+# query slab (the term that actually reduces traffic).
+DEFAULT_BLOCK_ROWS = 1 << 18
+
+
+@functools.partial(
+    jax.jit,
+    donate_argnums=(0, 1),
+    static_argnames=("k", "candidate_tile", "method"),
+)
+def _ooc_step(carry_s, carry_i, q_tiles, block, base, n_valid, k,
+              candidate_tile, method):
+    """Merge one candidate block into the running top-k.
+
+    carry_s/carry_i: (nt, qt, k) running scores/global indices (donated —
+    the carry lives in the same HBM pages for the whole sweep).
+    q_tiles: (nt, qt, d) query slab. block: (c_rows, d) zero-padded
+    candidate rows; base (traced) is the block's global row offset and
+    n_valid its real row count, so one compiled executable serves every
+    block including the ragged last one."""
+    d = q_tiles.shape[-1]
+    nb = block.shape[0] // candidate_tile
+    blocks = block.reshape(nb, candidate_tile, d)
+    bases = base + jnp.arange(nb, dtype=jnp.int32) * candidate_tile
+    limit = base + n_valid
+
+    def per_tile(args):
+        tile, cs, ci = args
+        tq = tile.astype(block.dtype)
+
+        def scan_block(carry, inp):
+            run_s, run_i = carry
+            blk, b = inp
+            scores = jax.lax.dot_general(
+                tq, blk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            cols = b + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(cols >= limit, -jnp.inf, scores)
+            bs, bi = _topk_scores(scores, k, method)
+            bidx = jnp.take_along_axis(cols, bi.astype(jnp.int32), axis=1)
+            merged = jnp.concatenate([run_s, bs], axis=1)
+            merged_i = jnp.concatenate([run_i, bidx], axis=1)
+            ts, ti = jax.lax.top_k(merged, k)
+            return (ts, jnp.take_along_axis(merged_i, ti, axis=1)), None
+
+        (s, i), _ = jax.lax.scan(scan_block, (cs, ci), (blocks, bases))
+        return s, i
+
+    return jax.lax.map(per_tile, (q_tiles, carry_s, carry_i))
+
+
+def plan_ooc(n: int, d: int, k: int, hbm_budget: int,
+             query_tile: int = 512, block_rows: int = DEFAULT_BLOCK_ROWS,
+             itemsize: int = 2) -> tuple[int, int]:
+    """(q_rows, c_rows) for an HBM budget in bytes.
+
+    Accounting per resident set: query slab q*d*2 (bf16) + carry q*k*8
+    (f32 scores + i32 indices) + TWO candidate blocks (double buffer)
+    c*d*2 + the scan's (qt, ct) f32 score temp. q_rows is maximized —
+    every extra query row resident divides the candidate re-upload
+    traffic — and c_rows shrinks (pow2) until two blocks fit."""
+    c = block_rows
+    while c > query_tile and 2 * c * d * itemsize > hbm_budget // 3:
+        c //= 2
+    ct = min(c, 131072)
+    fixed = 2 * c * d * itemsize + query_tile * ct * 4
+    per_q = d * itemsize + k * 8
+    q = (hbm_budget - fixed) // per_q
+    q = max(query_tile, int(q) // query_tile * query_tile)
+    return q, c
+
+
+def knn_exact_ooc(
+    embeddings: np.ndarray,
+    n_neighbors: int,
+    hbm_budget: int,
+    query_tile: int = 512,
+    candidate_tile: int = 131072,
+    precision: str = "bf16",
+    method: str = "exact",
+    transfer: str = "f32",
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact cosine top-k over a HOST-resident (N, d) matrix, streaming
+    both sides through an HBM budget (bytes). Output contract identical
+    to knn_exact: (indices (N, k) int32, distances (N, k) float32),
+    self at rank 0. precision='fp32' uploads fp32 (exact, 2x traffic)."""
+    emb = np.asarray(embeddings)
+    n, d = emb.shape
+    k = min(n_neighbors, n)
+
+    # host-side normalize + cast ONCE into the wire buffer, chunked: the
+    # input is NOT mutated (it is the pipeline's result matrix) and the
+    # full-size f32 normalized temp never exists (at 4e7 rows it would be
+    # an 82 GB allocation)
+    wire_dtype = ml_dtypes.bfloat16 if precision == "bf16" else np.float32
+    host = np.empty((n, d), wire_dtype)
+    for s in range(0, n, 1 << 20):
+        e = np.asarray(emb[s : s + (1 << 20)], np.float32)
+        norms = np.linalg.norm(e, axis=1, keepdims=True)
+        host[s : s + (1 << 20)] = (
+            e / np.where(norms == 0, 1.0, norms)).astype(wire_dtype)
+    del emb
+
+    itemsize = np.dtype(wire_dtype).itemsize
+    q_rows, c_rows = plan_ooc(n, d, k, hbm_budget, query_tile, block_rows,
+                              itemsize)
+    qt = min(query_tile, max(8, n))
+    ct = min(candidate_tile, c_rows)
+    n_slabs = -(-n // q_rows)
+    n_blocks = -(-n // c_rows)
+    logger.info(
+        "knn_exact_ooc: %d x %d rows host-resident (%.2f GB %s), budget "
+        "%.2f GB -> %d query slabs x %d rows, %d candidate blocks x %d "
+        "rows (H2D ~%.2f GB)",
+        n, d, host.nbytes / 1e9, np.dtype(wire_dtype).name,
+        hbm_budget / 1e9, n_slabs, q_rows, n_blocks, c_rows,
+        n_slabs * host.nbytes / 1e9,
+    )
+
+    dist_dtype = jnp.float32
+    idx_out = np.empty((n, k), np.int32)
+    dist_out = np.empty((n, k), np.float32)
+
+    def block_host(b):
+        lo = b * c_rows
+        hi = min(lo + c_rows, n)
+        blk = host[lo:hi]
+        if hi - lo < c_rows:  # zero-pad the ragged last block
+            blk = np.concatenate(
+                [blk, np.zeros((c_rows - (hi - lo), d), wire_dtype)])
+        return blk
+
+    pending = None  # (slab_start, slab_rows, carry_s, carry_i)
+    for s in range(0, n, q_rows):
+        rows = min(q_rows, n - s)
+        pad = (-rows) % qt
+        slab = host[s : s + rows]
+        if pad:
+            slab = np.concatenate([slab, np.zeros((pad, d), wire_dtype)])
+        q_dev = jnp.asarray(slab).reshape(-1, qt, d)
+        nt = q_dev.shape[0]
+        carry_s = jnp.full((nt, qt, k), -jnp.inf, dist_dtype)
+        carry_i = jnp.full((nt, qt, k), -1, jnp.int32)
+        nxt = jax.device_put(block_host(0))  # prefetch first block
+        for b in range(n_blocks):
+            blk_dev = nxt
+            lo = b * c_rows
+            nv = min(c_rows, n - lo)
+            if b + 1 < n_blocks:  # upload next while this one computes
+                nxt = jax.device_put(block_host(b + 1))
+            carry_s, carry_i = _ooc_step(
+                carry_s, carry_i, q_dev, blk_dev, jnp.int32(lo),
+                jnp.int32(nv), k, ct, method,
+            )
+        if pending is not None:  # drain previous slab under this compute
+            _drain(pending, idx_out, dist_out, transfer, n, qt, k)
+        pending = (s, rows, carry_s, carry_i)
+    _drain(pending, idx_out, dist_out, transfer, n, qt, k)
+    return idx_out, dist_out
+
+
+def _drain(entry, idx_out, dist_out, transfer, n, qt, k):
+    s, rows, carry_s, carry_i = entry
+    dist = (1.0 - carry_s).reshape(-1, k)[:rows]
+    idx = carry_i.reshape(-1, k)[:rows]
+    idx_out[s : s + rows] = transfer_idx(idx, transfer, n)
+    dist_out[s : s + rows] = transfer_dist(dist, transfer)

@@ -268,6 +268,23 @@ def _embed_chunk_fused(buf, planes, lib_words, table, p_ext, t_fwd, t_rev,
     return buf.at[t_rev].set(e_rev)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "bits", "steps", "packed", "lib_size"),
+)
+def _embed_chunk_rows(planes, lib_words, table, p_ext, k, bits, steps,
+                      packed, lib_size):
+    """Fused membership+embed returning the chunk's (rows, d) fwd/rev
+    embedding blocks instead of scattering them — the out-of-core path
+    places them into the HOST-resident matrix (knn/ooc.py), where a
+    device-side (2R+1, d) buffer cannot exist by definition."""
+    from fedrann_tpu.kmers.membership import _read_hits_staged
+
+    hits, _ = _read_hits_staged(planes, lib_words, table, k, bits, steps,
+                                packed)
+    return embed_hits_pair_mirror(hits, p_ext, lib_size)
+
+
 def compute_embeddings(
     packed: PackedReads,
     library: KmerLibrary,
@@ -275,12 +292,18 @@ def compute_embeddings(
     p_ext: jnp.ndarray,
     staged_chunks,
     metrics: Optional[StageMetrics] = None,
+    out: str = "device",
 ) -> tuple[jnp.ndarray, int]:
     """Stage 3: (2R, d) float32 embeddings in global (read0_fwd, read0_rev,
     ...) row order (reference __main__.py:277-282), DEVICE-resident — the
     matrix never crosses to the host (device->host bandwidth is the scarce
     resource on tunneled TPU hosts; the k-NN consumes it in place).
-    Returns (device matrix view, dropped_hits)."""
+    Returns (device matrix view, dropped_hits).
+
+    out='host' (the out-of-core regime, docs/SCALING.md): each chunk's
+    embedding rows cross to the host as they are produced and the matrix
+    is a host numpy buffer — the (2R+1, d) device buffer never exists, so
+    the stage scales to matrices past HBM. Returns (np.ndarray, dropped)."""
     from fedrann_tpu.kmers.membership import read_hits_staged
 
     import time as _time
@@ -288,7 +311,12 @@ def compute_embeddings(
     _t = _time.perf_counter()
     n_reads = packed.n_reads
     d = p_ext.shape[1]
-    buf = jnp.zeros((2 * n_reads + 1, d), dtype=jnp.float32)
+    host_out = out == "host"
+    if host_out:
+        buf_h = np.zeros((2 * n_reads, d), np.float32)
+        buf = None
+    else:
+        buf = jnp.zeros((2 * n_reads + 1, d), dtype=jnp.float32)
     # device-built libraries index without a host round trip (the codes
     # D2H at ~4-5 MB/s + words/table re-upload cost ~1 s/run before)
     from fedrann_tpu.kmers.library_device import DeviceLibrary
@@ -333,13 +361,23 @@ def compute_embeddings(
         keep = idx >= 0
         has_split = bool(split_ids) and any(int(i) in split_ids for i in idx)
         if not has_split and library.size > 0:
-            t_fwd = jnp.asarray(np.where(keep, 2 * idx, garbage))
-            t_rev = jnp.asarray(np.where(keep, 2 * idx + 1, garbage))
-            buf = _embed_chunk_fused(
-                buf, planes, lib_index.words, lib_index.table, p_ext,
-                t_fwd, t_rev, config.kmer_size, lib_index.bits,
-                lib_index.steps, lib_index.packed, library.size,
-            )
+            if host_out:
+                e_fwd, e_rev = _embed_chunk_rows(
+                    planes, lib_index.words, lib_index.table, p_ext,
+                    config.kmer_size, lib_index.bits, lib_index.steps,
+                    lib_index.packed, library.size,
+                )
+                rows = np.flatnonzero(keep)
+                buf_h[2 * idx[rows]] = np.asarray(e_fwd)[rows]
+                buf_h[2 * idx[rows] + 1] = np.asarray(e_rev)[rows]
+            else:
+                t_fwd = jnp.asarray(np.where(keep, 2 * idx, garbage))
+                t_rev = jnp.asarray(np.where(keep, 2 * idx + 1, garbage))
+                buf = _embed_chunk_fused(
+                    buf, planes, lib_index.words, lib_index.table, p_ext,
+                    t_fwd, t_rev, config.kmer_size, lib_index.bits,
+                    lib_index.steps, lib_index.packed, library.size,
+                )
             dropped_parts.append(jnp.sum(pre_dropped))
             continue
         hits, _, dropped = read_hits_staged(
@@ -352,10 +390,15 @@ def compute_embeddings(
                 rows = np.flatnonzero(seg)
                 split_rows.append((idx[rows], np.asarray(hits[rows])))
             keep = keep & ~is_split
-        t_fwd = jnp.asarray(np.where(keep, 2 * idx, garbage))
-        t_rev = jnp.asarray(np.where(keep, 2 * idx + 1, garbage))
         e_fwd, e_rev = embed_hits_pair_mirror(hits, p_ext, library.size)
-        buf = _scatter_embeddings(buf, t_fwd, t_rev, e_fwd, e_rev)
+        if host_out:
+            rows = np.flatnonzero(keep)
+            buf_h[2 * idx[rows]] = np.asarray(e_fwd)[rows]
+            buf_h[2 * idx[rows] + 1] = np.asarray(e_rev)[rows]
+        else:
+            t_fwd = jnp.asarray(np.where(keep, 2 * idx, garbage))
+            t_rev = jnp.asarray(np.where(keep, 2 * idx + 1, garbage))
+            buf = _scatter_embeddings(buf, t_fwd, t_rev, e_fwd, e_rev)
         dropped_parts.append(jnp.sum(dropped))
 
     if split_rows:
@@ -378,10 +421,14 @@ def compute_embeddings(
         # int32 indices: int64 scatter operands compile ~100x slower on
         # this Mosaic toolchain (docs/TPU_PLATFORM_NOTES.md)
         rids = np.asarray([rid for rid, _ in unions], np.int32)
-        buf = _scatter_embeddings(
-            buf, jnp.asarray(2 * rids), jnp.asarray(2 * rids + 1),
-            e_fwd, e_rev,
-        )
+        if host_out:
+            buf_h[2 * rids] = np.asarray(e_fwd)
+            buf_h[2 * rids + 1] = np.asarray(e_rev)
+        else:
+            buf = _scatter_embeddings(
+                buf, jnp.asarray(2 * rids), jnp.asarray(2 * rids + 1),
+                e_fwd, e_rev,
+            )
         logger.info("merged %d chunk-split reads (exact hit union)", m)
     _t = _tlog("embed queue", _t)
     total_dropped = int(sum(int(x) for x in jax.device_get(dropped_parts))) \
@@ -397,6 +444,8 @@ def compute_embeddings(
             "staging buffer overflowed: %d hit occurrences dropped before "
             "membership (%s)", total_dropped, hint,
         )
+    if host_out:
+        return buf_h, total_dropped
     return buf[: 2 * n_reads], total_dropped
 
 
@@ -545,11 +594,29 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                     dtype=p_dtype,
                 )
 
+        # out-of-core decision BEFORE embed: past the budget the (2R+1, d)
+        # device buffer must never exist, so the embed stage itself routes
+        # its chunk rows to a host-resident matrix (docs/SCALING.md)
+        ooc = (config.knn_hbm_budget is not None
+               and 2 * packed.n_reads * config.embedding_dimension * 6
+               > config.knn_hbm_budget)
+        if ooc:
+            logger.info(
+                "embedding matrix %.2f GB + search copy exceeds the %.2f GB "
+                "HBM budget: out-of-core path (host-resident matrix, "
+                "streamed k-NN)",
+                2 * packed.n_reads * config.embedding_dimension * 4 / 1e9,
+                config.knn_hbm_budget / 1e9,
+            )
+
         with metrics.stage("embed"):
             emb = _load_embeddings_checkpoint(config, ckpt_dir, packed, library)
+            if emb is not None and ooc:
+                emb = np.asarray(emb)
             if emb is None:
                 emb, _ = compute_embeddings(
-                    packed, library, config, p_ext, get_staged(), metrics
+                    packed, library, config, p_ext, get_staged(), metrics,
+                    out="host" if ooc else "device",
                 )
                 if ckpt_dir:
                     from fedrann_tpu.io.blockio import np_save_chunked
@@ -570,7 +637,26 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
             n_dev = len(jax.devices())
             use_mesh = (config.knn_sharded == "always"
                         or (config.knn_sharded == "auto" and n_dev > 1))
-            if config.knn_method == "ivf" and not use_mesh:
+            if ooc:
+                from fedrann_tpu.knn.ooc import knn_exact_ooc
+
+                if config.knn_method == "ivf" or use_mesh:
+                    logger.warning(
+                        "out-of-core k-NN is single-device exact search; "
+                        "knn_method=%s / mesh sharding are overridden past "
+                        "the HBM budget (compose them below the budget, or "
+                        "raise --knn-hbm-budget)", config.knn_method,
+                    )
+                idx, dist = knn_exact_ooc(
+                    emb, config.n_neighbors,
+                    hbm_budget=config.knn_hbm_budget,
+                    query_tile=config.knn_query_tile,
+                    candidate_tile=config.knn_candidate_tile,
+                    precision=config.knn_precision,
+                    method=config.knn_topk_method,
+                    transfer=config.knn_transfer,
+                )
+            elif config.knn_method == "ivf" and not use_mesh:
                 from fedrann_tpu.knn.ivf import knn_ivf
 
                 idx, dist = knn_ivf(
@@ -645,7 +731,7 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
             # halves both when active — knn/topk.py)
             n_rows_knn = int(emb.shape[0])
             flops = 2.0 * n_rows_knn * n_rows_knn * emb.shape[1]
-            if config.knn_method == "ivf":
+            if config.knn_method == "ivf" and not ooc:
                 from fedrann_tpu.knn.ivf import auto_clusters
 
                 c_eff = config.knn_ivf_clusters or auto_clusters(n_rows_knn)
