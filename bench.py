@@ -171,6 +171,49 @@ def main() -> int:
         "vs_baseline": round(device_rps / oracle_rps, 2),
     }
     line.update(roofline)
+
+    # Rung-scale second metric (VERDICT r3 weak 7): the 7.5k-read primary
+    # shape cannot exercise the MXU meaningfully; the dmel-shaped rung
+    # (60k reads, 120k x 512 k-NN) measures the machine. Reuses the
+    # persistent bench workdir (fasta + fxcache survive across runs), so
+    # it costs ~1 min warm / one sim+compile pass cold. BENCH_RUNG=0
+    # skips; any rung failure degrades to the primary metric only.
+    if os.environ.get("BENCH_RUNG", "1") != "0":
+        # subprocess + hard timeout: the remote compile server stalls
+        # unpredictably under co-tenant load (observed 150 s - 14 min for
+        # the same dmel stage kernel); a stalled rung must degrade to the
+        # primary metric, not take the whole bench line down with it.
+        try:
+            rung = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench", "run.py"),
+                 "dmel", "--no-recall"],
+                capture_output=True, text=True,
+                timeout=float(os.environ.get("BENCH_RUNG_TIMEOUT", 1500)),
+            )
+            rows = [json.loads(l) for l in rung.stdout.splitlines()
+                    if l.startswith("{")]
+            if rung.returncode == 0 and rows:
+                rung_row = rows[-1]
+                line["rung"] = "dmel"
+                line["rung_reads_per_s"] = rung_row["reads_per_s"]
+                line["rung_knn_mfu_pct"] = (
+                    rung_row.get("roofline", {}).get("knn", {})
+                    .get("mfu_pct"))
+                print(f"[bench] rung dmel: {rung_row['reads_per_s']} "
+                      f"reads/s (stages: {rung_row['stages_s']})",
+                      file=sys.stderr)
+            else:
+                tail = (rung.stderr or "").strip().splitlines()
+                print(f"[bench] rung failed rc={rung.returncode}: "
+                      f"{tail[-1] if tail else '?'}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print("[bench] rung timed out (compile-server contention); "
+                  "primary metric only", file=sys.stderr)
+        except Exception as e:  # pragma: no cover - degrade, don't fail
+            print(f"[bench] rung skipped: {e}", file=sys.stderr)
+
     print(json.dumps(line))
     return 0
 

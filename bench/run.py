@@ -28,7 +28,7 @@ from configs import CONFIGS  # noqa: E402
 RECALL_MAX_READS = 400_000
 
 
-def run_one(cfg, warm: bool = True) -> dict:
+def run_one(cfg, warm: bool = True, compute_recall: bool = True) -> dict:
     from fedrann_tpu.cli import config_from_args
     from fedrann_tpu.eval import truth_recall
     from fedrann_tpu.pipeline import run_pipeline
@@ -98,12 +98,13 @@ def run_one(cfg, warm: bool = True) -> dict:
         result = run_pipeline(config)
         wall = time.perf_counter() - t0
 
-    if n_reads <= RECALL_MAX_READS and sim is None:
+    if compute_recall and n_reads <= RECALL_MAX_READS and sim is None:
         # deterministic re-derivation (seed-fixed) for ground truth; done
         # after the timed run so sim CPU never contends with the pipeline
         sim = _sim()
     truth = (sim.truth_overlaps(min_overlap=max(500, cfg.read_len // 4))
-             if sim is not None and n_reads <= RECALL_MAX_READS
+             if compute_recall and sim is not None
+             and n_reads <= RECALL_MAX_READS
              else None)
     recall = (
         truth_recall(result.neighbor_indices, truth, n_reads)
@@ -152,6 +153,12 @@ def main(argv):
         # the row); a warmup doubles multi-hour walls for no information
         names = [n for n in names if n != "--cold"]
         warm = False
+    compute_recall = True
+    if "--no-recall" in names:
+        # bench.py's rung subprocess: skip the minutes of host-side truth
+        # derivation — it wants the throughput row only
+        names = [n for n in names if n != "--no-recall"]
+        compute_recall = False
     for name in names:
         if ":k=" in name:
             name, kk = name.split(":k=")
@@ -160,7 +167,7 @@ def main(argv):
         else:
             cfg = CONFIGS[name]
         print(f"=== {name}: {cfg.models}", file=sys.stderr)
-        row = run_one(cfg, warm=warm)
+        row = run_one(cfg, warm=warm, compute_recall=compute_recall)
         row["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%S")
         print(json.dumps(row))
         with open(out_path, "a") as f:

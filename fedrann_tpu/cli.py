@@ -92,6 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="IVF cluster count (default: auto ~2*sqrt(N)).")
     p.add_argument("--knn-ivf-probes", type=int, default=8,
                    help="IVF probed clusters per query (recall knob).")
+    p.add_argument("--knn-ivf-spill", type=int, default=2,
+                   help="Clusters each row is indexed in (overlapping "
+                        "clusters; 2 recovers k-means boundary pairs on "
+                        "read-overlap manifolds for 2x rescore FLOPs).")
     p.add_argument("--projection-dtype", choices=("bf16", "f32"),
                    default="bf16",
                    help="Projection-table storage dtype (accumulation is "
@@ -194,6 +198,7 @@ def config_from_args(argv: list[str] | None = None) -> PipelineConfig:
         knn_method=args.knn_method,
         knn_ivf_clusters=args.knn_ivf_clusters,
         knn_ivf_probes=args.knn_ivf_probes,
+        knn_ivf_spill=args.knn_ivf_spill,
         knn_transfer=args.knn_transfer,
         knn_hbm_budget=parse_bytes(args.knn_hbm_budget),
         projection_dtype=args.projection_dtype,

@@ -95,6 +95,12 @@ class PipelineConfig:
     # linearly more distance work).
     knn_ivf_clusters: Optional[int] = None
     knn_ivf_probes: int = 8
+    # Clusters each DB row is indexed in (overlapping clusters / spill,
+    # after ScaNN-SOAR). Read embeddings lie on the genome's overlap
+    # manifold; k-means boundaries cut true neighbor pairs and single
+    # assignment plateaus near 0.8 recall at the rungs — spill=2 re-finds
+    # boundary pairs from the other side for 2x rescore FLOPs.
+    knn_ivf_spill: int = 2
     # "auto": shard the k-NN over all devices when more than one is visible;
     # "never": single-device; "always": require a mesh (error if 1 device).
     knn_sharded: str = "auto"
@@ -170,6 +176,8 @@ class PipelineConfig:
             raise ValueError("knn_method must be 'exact' or 'ivf'")
         if self.knn_ivf_probes < 1:
             raise ValueError("knn_ivf_probes must be >= 1")
+        if self.knn_ivf_spill < 1:
+            raise ValueError("knn_ivf_spill must be >= 1")
         if self.knn_hbm_budget is not None and self.knn_hbm_budget < (1 << 20):
             raise ValueError(
                 "knn_hbm_budget must be at least 1 MiB (plan_ooc floors "

@@ -90,18 +90,57 @@ def _kmeans(en: jax.Array, n_clusters: int, iters: int):
     return cent, a, counts.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("n_clusters", "m"))
-def _member_table(a: jax.Array, counts: jax.Array, n_clusters: int, m: int):
-    """(C, M) table of row ids per cluster, padded with the sentinel N."""
-    n = a.shape[0]
+@functools.partial(jax.jit, static_argnames=("spill",))
+def _assign_spill(en: jax.Array, cent: jax.Array, spill: int):
+    """Top-`spill` cluster assignments per row (flattened row-major) and
+    the per-cluster counts over ALL assignments. spill > 1 indexes each
+    row in its nearest `spill` clusters (overlapping clusters, after
+    ScaNN/SOAR): a k-means boundary that cuts the read-overlap manifold
+    no longer hides a row from queries probing the other side — measured
+    on the rung embeddings, single-assignment recall plateaus near 0.8
+    while the probed-FLOP budget is nowhere near spent."""
+    scores = jax.lax.dot_general(
+        en.astype(jnp.bfloat16), cent.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    _, top = jax.lax.top_k(scores, spill)
+    flat = top.astype(jnp.int32).ravel()
+    counts = jnp.bincount(flat, length=cent.shape[0])
+    return flat, counts.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters", "m", "spill"))
+def _member_table(a: jax.Array, counts: jax.Array, n_clusters: int, m: int,
+                  spill: int = 1):
+    """(C, M) table of row ids per cluster, padded with the sentinel N.
+    With spill > 1, `a` is the flattened (N*spill,) row-major assignment
+    list and each row id appears in `spill` clusters."""
+    n_flat = a.shape[0]
+    n = n_flat // spill
     order = jnp.argsort(a, stable=True)
     sorted_a = a[order]
     offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
     )
-    pos = jnp.arange(n, dtype=jnp.int32) - offsets[sorted_a]
+    pos = jnp.arange(n_flat, dtype=jnp.int32) - offsets[sorted_a]
     member = jnp.full((n_clusters, m), n, jnp.int32)
-    return member.at[sorted_a, pos].set(order.astype(jnp.int32))
+    ids = (order // spill).astype(jnp.int32) if spill > 1 \
+        else order.astype(jnp.int32)
+    return member.at[sorted_a, pos].set(ids)
+
+
+def _dedup_topk(merged_d, merged_i, k):
+    """Per-row top-k by distance with duplicate candidate ids removed
+    (spill > 1 can rescore the same row from two probed clusters; the
+    duplicates carry identical exact distances, keep one). Unwritten
+    slots (idx < 0 / inf dist) sort last."""
+    si, sd = jax.lax.sort((merged_i, merged_d), dimension=1, num_keys=1)
+    dup = jnp.zeros(si.shape, bool).at[:, 1:].set(si[:, 1:] == si[:, :-1])
+    sd = jnp.where(dup | (si < 0), jnp.inf, sd)
+    neg, pos = jax.lax.top_k(-sd, k)
+    idx = jnp.take_along_axis(si, pos, axis=1)
+    return -neg, jnp.where(jnp.isinf(neg), -1, idx)
 
 
 @functools.partial(jax.jit, static_argnames=("n_probes",))
@@ -147,17 +186,109 @@ def _probe_tables(probes: jax.Array, qcounts: jax.Array, n_clusters: int,
     return qtab, stab
 
 
+def _size_class(x: int, floor: int = 128) -> int:
+    """Pad a ragged extent to its power-of-two size class (floor 128)."""
+    return max(floor, 1 << int(np.ceil(np.log2(max(int(x), 1)))))
+
+
+@functools.partial(jax.jit, static_argnames=("kk", "method"))
+def _rescore_group(en_pad, mem_g, qt_g, n_real, kk, method):
+    """Exact rescore of one cluster size-class: every cluster in the group
+    shares the SAME padded (q, m) shape, so the padded matmul is at most
+    2x the cluster's real work instead of the global max."""
+    def per_cluster(inputs):
+        mem_c, q_c = inputs
+        cand = en_pad[mem_c]
+        q = en_pad[q_c]
+        scores = jax.lax.dot_general(
+            q, cand, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        scores = jnp.where(mem_c[None, :] >= n_real, -jnp.inf, scores)
+        s, i = _topk_scores(scores, kk, method)
+        idx = mem_c[i.astype(jnp.int32)]
+        return 1.0 - s, idx
+
+    return jax.lax.map(per_cluster, (mem_g, qt_g))
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _scatter_group(buf_d, buf_i, qt_g, st_g, dist_g, idx_g):
+    kk = dist_g.shape[-1]
+    buf_d = buf_d.at[qt_g, st_g, :kk].set(dist_g)
+    buf_i = buf_i.at[qt_g, st_g, :kk].set(idx_g)
+    return buf_d, buf_i
+
+
+@functools.partial(jax.jit, static_argnames=("n", "k", "spill"))
+def _merge_buffers(buf_d, buf_i, n, k, spill):
+    merged_d = buf_d[:n].reshape(n, -1)
+    merged_i = buf_i[:n].reshape(n, -1)
+    kk = min(k, merged_d.shape[1])
+    if spill > 1:
+        return _dedup_topk(merged_d, merged_i, kk)
+    neg, pos = jax.lax.top_k(-merged_d, kk)
+    idx = jnp.take_along_axis(merged_i, pos, axis=1)
+    return -neg, jnp.where(jnp.isinf(neg), -1, idx)
+
+
+def _ivf_search_grouped(en, member, qtab, stab, counts_h, qcounts_h,
+                        n_probes, k, precision, method, spill):
+    """Size-classed exact rescore (the imbalance fix, measured at chr1:
+    the single global-max-padded lax.map paid (max_q x max_m) for EVERY
+    cluster — genomic repeats make one cluster 4-10x the mean, so the
+    padded FLOPs exceeded exact search and IVF ran 3.7x SLOWER than
+    brute force. Grouping clusters into power-of-two (q, m) size classes
+    bounds padding to 2x per side while keeping every matmul shape
+    compiled once and reused)."""
+    n, d = en.shape
+    en_pad = jnp.concatenate([en, jnp.zeros((1, d), en.dtype)])
+    if precision == "bf16":
+        en_pad = en_pad.astype(jnp.bfloat16)
+    kk_g = min(k, member.shape[1])
+    buf_d = jnp.full((n + 1, n_probes, kk_g), jnp.inf, jnp.float32)
+    buf_i = jnp.full((n + 1, n_probes, kk_g), -1, jnp.int32)
+
+    groups: dict[tuple[int, int], list[int]] = {}
+    for ci in range(member.shape[0]):
+        if qcounts_h[ci] == 0:
+            continue  # nobody probes this cluster; no work to schedule
+        key = (min(_size_class(qcounts_h[ci]), qtab.shape[1]),
+               min(_size_class(counts_h[ci]), member.shape[1]))
+        groups.setdefault(key, []).append(ci)
+    pair_scores = sum(len(l) * q * m for (q, m), l in groups.items())
+    logger.info(
+        "ivf rescore: %d size classes over %d probed clusters, %.2e padded "
+        "pair-scores (%.1fx fewer than exact)",
+        len(groups), sum(len(l) for l in groups.values()), pair_scores,
+        float(n) * n / max(pair_scores, 1),
+    )
+    for (qcls, mcls), l in sorted(groups.items()):
+        sel = jnp.asarray(np.asarray(l, np.int32))
+        mem_g = member[sel][:, :mcls]
+        qt_g = qtab[sel][:, :qcls]
+        st_g = stab[sel][:, :qcls]
+        kk = min(k, mcls)
+        dist_g, idx_g = _rescore_group(en_pad, mem_g, qt_g, jnp.int32(n),
+                                       kk, method)
+        buf_d, buf_i = _scatter_group(buf_d, buf_i, qt_g, st_g,
+                                      dist_g, idx_g)
+    return _merge_buffers(buf_d, buf_i, n, k, spill)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("n_probes", "k", "precision", "method")
+    jax.jit,
+    static_argnames=("n_probes", "k", "precision", "method", "spill"),
 )
 def _ivf_search(en: jax.Array, member: jax.Array, qtab: jax.Array,
                 stab: jax.Array, n_probes: int, k: int, precision: str,
-                method: str):
+                method: str, spill: int = 1):
     """Exact rescore over each query's probed clusters. One matmul per
     cluster: (queries probing c) x (members of c); partial top-k results
-    scatter into a (N, p, k) buffer merged by a final top-k. Member lists
-    are disjoint and a query's probe clusters are distinct, so no
-    candidate ever appears twice. Returns (dist, idx) both (N, k)."""
+    scatter into a (N, p, k) buffer merged by a final top-k. With
+    spill == 1 member lists are disjoint and a query's probe clusters are
+    distinct, so no candidate ever appears twice; spill > 1 dedups in the
+    merge (_dedup_topk). Returns (dist, idx) both (N, k)."""
     n, d = en.shape
     en_pad = jnp.concatenate([en, jnp.zeros((1, d), en.dtype)])
     if precision == "bf16":
@@ -187,13 +318,15 @@ def _ivf_search(en: jax.Array, member: jax.Array, qtab: jax.Array,
     buf_idx = buf_idx.at[qtab, stab].set(idx_c)
     merged_d = buf_dist[:n].reshape(n, n_probes * kk)
     merged_i = buf_idx[:n].reshape(n, n_probes * kk)
+    if spill > 1:
+        return _dedup_topk(merged_d, merged_i, min(k, n_probes * kk))
     neg, pos = jax.lax.top_k(-merged_d, min(k, n_probes * kk))
     return -neg, jnp.take_along_axis(merged_i, pos, axis=1)
 
 
 def _ivf_search_sharded_body(en_local, member_l, qtab_l, stab_l, *,
                              n_probes, kk, k, n_real, n_pad, precision,
-                             method, data_axis):
+                             method, data_axis, spill=1):
     """Per-device body of the cluster-sharded IVF search (runs inside
     shard_map). en_local: (B, d) normalized local query/candidate rows;
     member_l/qtab_l/stab_l: this device's (C/D, .) slice of the cluster
@@ -236,6 +369,10 @@ def _ivf_search_sharded_body(en_local, member_l, qtab_l, stab_l, *,
     merged_d = jnp.where(loc_idx == 0, jnp.inf, loc_dist).reshape(
         b, n_probes * kk)
     merged_i = (loc_idx - 1).reshape(b, n_probes * kk)
+    if spill > 1:
+        # a row spilled into two probed clusters appears twice with the
+        # same exact distance; dedup before the final top-k
+        return _dedup_topk(merged_d, merged_i, min(k, n_probes * kk))
     neg, pos = jax.lax.top_k(-merged_d, min(k, n_probes * kk))
     out_i = jnp.take_along_axis(merged_i, pos, axis=1)
     out_d = -neg
@@ -252,6 +389,7 @@ def knn_ivf_sharded(
     precision: str = "bf16",
     method: str = "exact",
     transfer: str = "f32",
+    spill: int = 2,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sub-quadratic IVF k-NN sharded over the mesh's data axis.
 
@@ -281,6 +419,7 @@ def knn_ivf_sharded(
                                  precision=precision, transfer=transfer)
     k = min(n_neighbors, n)
     p = min(n_probes, c)
+    spill = max(1, min(spill, c))
 
     en = normalize_rows(jnp.asarray(embeddings))
     n_pad = -(-n // n_dev) * n_dev
@@ -293,6 +432,8 @@ def knn_ivf_sharded(
     # phase 1 (GSPMD row-sharded): k-means + per-query probe lists; the
     # two table widths are the same host syncs the single-device path pays
     cent, a, counts = _kmeans(en, c, kmeans_iters)
+    if spill > 1:
+        a, counts = _assign_spill(en, cent, spill)
     probes, qcounts = _probe_lists(en, cent, p)
     counts_h = np.asarray(counts)
     qcounts_h = np.asarray(qcounts)
@@ -301,12 +442,12 @@ def knn_ivf_sharded(
     kk = min(k, m)
     logger.info(
         "knn_ivf_sharded: %d rows over %d devices, C=%d clusters "
-        "(max %d rows), p=%d probes (max %d queries/cluster)",
-        n, n_dev, c, int(counts_h.max()), p, int(qcounts_h.max()),
+        "(max %d rows, spill %d), p=%d probes (max %d queries/cluster)",
+        n, n_dev, c, int(counts_h.max()), spill, p, int(qcounts_h.max()),
     )
     # table sentinel is a.shape[0] == n_pad: sentinel members mask via
     # >= n_real, sentinel queries drop as out-of-bounds scatter rows
-    member = _member_table(a, counts, c, m)
+    member = _member_table(a, counts, c, m, spill=spill)
     qtab, stab = _probe_tables(probes, qcounts, c, qm)
 
     # phase 2 (shard_map cluster-sharded search)
@@ -317,7 +458,7 @@ def knn_ivf_sharded(
     body = functools.partial(
         _ivf_search_sharded_body, n_probes=p, kk=kk, k=k, n_real=n,
         n_pad=n_pad, precision=precision, method=method,
-        data_axis=DATA_AXIS,
+        data_axis=DATA_AXIS, spill=spill,
     )
     kernel = jax.jit(shard_map_norep(
         body, mesh=mesh,
@@ -338,6 +479,7 @@ def knn_ivf(
     precision: str = "bf16",
     method: str = "exact",
     transfer: str = "f32",
+    spill: int = 2,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sub-quadratic all-vs-all cosine top-k (IVF prefilter, exact rescore).
 
@@ -345,6 +487,12 @@ def knn_ivf(
     int32, distances (N, k) float32) sorted ascending, self row at rank 0.
     Neighbors outside the probed clusters are missed (that is the
     approximation); everything returned carries its exact cosine distance.
+
+    spill: clusters each DB row is indexed in (overlapping clusters).
+    Read embeddings lie on the genome's 1-D overlap manifold, so k-means
+    boundaries cut true neighbor pairs; spill=2 re-finds them from the
+    other side for 2x rescore FLOPs (measured at the rungs: recall
+    0.78 -> ~0.95 at the same probe count — bench/results.jsonl ab rows).
     """
     n = int(embeddings.shape[0])
     c = n_clusters or auto_clusters(n)
@@ -361,8 +509,11 @@ def knn_ivf(
                          method=method, transfer=transfer)
     k = min(n_neighbors, n)
     p = min(n_probes, c)
+    spill = max(1, min(spill, c))
     en = normalize_rows(jnp.asarray(embeddings))
     cent, a, counts = _kmeans(en, c, kmeans_iters)
+    if spill > 1:
+        a, counts = _assign_spill(en, cent, spill)
     probes, qcounts = _probe_lists(en, cent, p)
     # TWO scalar device->host syncs: member-table width (max cluster size)
     # and probe-table width (max queries probing one cluster), both padded
@@ -372,13 +523,15 @@ def knn_ivf(
     m = int(-(-int(counts_h.max()) // 128) * 128)
     qm = int(-(-int(qcounts_h.max()) // 128) * 128)
     logger.info(
-        "knn_ivf: %d rows, C=%d clusters (mean %.0f, max %d rows), "
-        "p=%d probes (max %d queries/cluster) -> ~%.1fx fewer distance "
-        "FLOPs than exact",
-        n, c, n / c, int(counts_h.max()), p, int(qcounts_h.max()),
-        n * n / max(float(c) * m * qm, 1.0),
+        "knn_ivf: %d rows, C=%d clusters (mean %.0f, max %d rows, "
+        "spill %d), p=%d probes (max %d queries/cluster) -> ~%.1fx fewer "
+        "distance FLOPs than exact",
+        n, c, spill * n / c, int(counts_h.max()), spill, p,
+        int(qcounts_h.max()), n * n / max(float(c) * m * qm, 1.0),
     )
-    member = _member_table(a, counts, c, m)
+    member = _member_table(a, counts, c, m, spill=spill)
     qtab, stab = _probe_tables(probes, qcounts, c, qm)
-    dist, idx = _ivf_search(en, member, qtab, stab, p, k, precision, method)
+    dist, idx = _ivf_search_grouped(en, member, qtab, stab, counts_h,
+                                    qcounts_h, p, k, precision, method,
+                                    spill)
     return transfer_idx(idx, transfer, n), transfer_dist(dist, transfer)

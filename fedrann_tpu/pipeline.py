@@ -663,6 +663,7 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                     emb, config.n_neighbors,
                     n_clusters=config.knn_ivf_clusters,
                     n_probes=config.knn_ivf_probes,
+                    spill=config.knn_ivf_spill,
                     precision=config.knn_precision,
                     method=config.knn_topk_method,
                     transfer=config.knn_transfer,
@@ -678,6 +679,7 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                     emb, config.n_neighbors, mesh=mesh,
                     n_clusters=config.knn_ivf_clusters,
                     n_probes=config.knn_ivf_probes,
+                    spill=config.knn_ivf_spill,
                     precision=config.knn_precision,
                     method=config.knn_topk_method,
                     transfer=config.knn_transfer,
