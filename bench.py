@@ -85,7 +85,7 @@ def main() -> int:
             "-k", "15", "--kmer-sample-fraction", "0.05",
             "--kmer-min-multiplicity", "2", "-n", "512",
             "--nndescent-n-neighbors", "50", "--seed", "602", "--threads", "4",
-            "--length-buckets", "16384",
+            "--length-buckets", "auto",
             # the reference's ANN is approximate (pynndescent); approx
             # block selection with the exact final merge measured 1.0
             # neighbor agreement at 120k rows and 3-4x faster selection

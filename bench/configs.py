@@ -23,13 +23,17 @@ class BenchConfig:
     dim: int = 512
     n_neighbors: int = 50
     error_rate: float = 0.05
-    length_bucket: int = 16384
+    # None = the pipeline's auto pow2 ladder (io.packing.auto_length_buckets)
+    length_bucket: int | None = None
     topk_method: str = "exact"  # 'approx' = lax.approx_max_k block selection
     # extra CLI flags appended verbatim (e.g. the human rung's forced
     # --knn-hbm-budget that trips the out-of-core valve, docs/SCALING.md)
     extra_args: tuple = ()
     # BASELINE.json rung this models
     models: str = ""
+
+    def length_buckets_arg(self) -> str:
+        return "auto" if self.length_bucket is None else str(self.length_bucket)
 
 
 CONFIGS = {
@@ -45,7 +49,7 @@ CONFIGS = {
     ),
     "dmel": BenchConfig(
         name="dmel", genome=30_000_000, coverage=30, read_len=15000, k=21,
-        sample_fraction=0.005, error_rate=0.01, length_bucket=65536,
+        sample_fraction=0.005, error_rate=0.01,
         topk_method="approx",
         models="D. melanogaster HiFi ~30x, k=21 (two-word code path)",
     ),

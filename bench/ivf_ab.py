@@ -55,7 +55,7 @@ def run_ab(name: str, probes_list: list[int]) -> list[dict]:
             "--kmer-min-multiplicity", str(cfg.min_multiplicity),
             "-n", str(cfg.dim),
             "--nndescent-n-neighbors", str(cfg.n_neighbors),
-            "--seed", "602", "--length-buckets", str(cfg.length_bucket),
+            "--seed", "602", "--length-buckets", cfg.length_buckets_arg(),
             "--knn-topk-method", cfg.topk_method,
             "--threads", "4", *extra,
         ]

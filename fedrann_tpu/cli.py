@@ -120,8 +120,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--window-batch", type=int, default=None,
                    help="Window positions per device batch in the k-mer "
                         "stages (default: config's 32M).")
-    p.add_argument("--length-buckets", type=str, default="4096,16384,65536,262144",
-                   help="Comma-separated padded read-length buckets.")
+    p.add_argument("--length-buckets", type=str, default="auto",
+                   help="Comma-separated padded read-length buckets, or "
+                        "'auto' (default) to derive a pow2 ladder from the "
+                        "input's length histogram.")
     p.add_argument("--import-library", type=str, default=None,
                    help="Use a reference-run k-mer library (jellyfish-dump "
                         "FASTA) instead of building one (golden parity).")
@@ -202,7 +204,9 @@ def config_from_args(argv: list[str] | None = None) -> PipelineConfig:
         knn_transfer=args.knn_transfer,
         knn_hbm_budget=parse_bytes(args.knn_hbm_budget),
         projection_dtype=args.projection_dtype,
-        length_buckets=tuple(int(x) for x in args.length_buckets.split(",")),
+        length_buckets=(None if args.length_buckets == "auto"
+                        else tuple(int(x)
+                                   for x in args.length_buckets.split(","))),
         import_library=args.import_library,
         import_projection=args.import_projection,
         pack_cache=not args.no_pack_cache,

@@ -29,7 +29,7 @@ CACHE_VERSION = 3  # v3: per-bucket prefix_valid persisted (re-deriving it
 # by popcount costs ~4 s/run over a 30 MB valid-bits plane on this host)
 
 
-def cache_meta(input_path: str, length_buckets: Sequence[int],
+def cache_meta(input_path: str, length_buckets: Optional[Sequence[int]],
                split_overlap: int | None = None) -> dict:
     """Identity of the cached packing; any mismatch invalidates the cache."""
     st = os.stat(input_path)
@@ -38,7 +38,11 @@ def cache_meta(input_path: str, length_buckets: Sequence[int],
         "path": os.path.abspath(input_path),
         "size": st.st_size,
         "mtime_ns": st.st_mtime_ns,
-        "buckets": [int(b) for b in length_buckets],
+        # None = the auto ladder, which is a pure function of the input
+        # file (identified by path/size/mtime above), so "auto" is a
+        # stable cache identity
+        "buckets": ("auto" if length_buckets is None
+                    else [int(b) for b in length_buckets]),
         "split_overlap": split_overlap,
     }
 

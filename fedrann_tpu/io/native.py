@@ -285,7 +285,7 @@ def parse_fastx_native(path: str, threads: int = 1,
 
 def pack_reads_native(
     path: str,
-    length_buckets: Sequence[int],
+    length_buckets: Sequence[int] | None,
     pad_rows_to: int = 8,
     bit_packed: bool = False,
     threads: int = 1,
@@ -293,17 +293,21 @@ def pack_reads_native(
     byte_range: tuple[int, int] | None = None,
 ) -> PackedReads:
     """Native-parse + vectorized numpy bucketing; behaviorally identical to
-    pack_reads(read_fastx(path), ...). bit_packed=True stores the 2-bit
+    pack_reads(read_fastx(path), ...) (length_buckets=None = the auto
+    ladder, packing.auto_length_buckets). bit_packed=True stores the 2-bit
     packed form (4 bases/byte + validity bits) instead of the byte matrix —
     ~3.6x smaller host memory and host->device upload; unpacked on device
     (kmers.codec.unpack_bases). split_overlap (= k-1) chunk-splits reads
     longer than the largest bucket instead of truncating them."""
-    from fedrann_tpu.io.packing import segment_spans
+    from fedrann_tpu.io.packing import auto_length_buckets, segment_spans
 
     names, codes, offsets = parse_fastx_native(path, threads,
                                                byte_range=byte_range)
-    buckets = sorted(length_buckets)
     lengths = np.diff(offsets).astype(np.int64)
+    if length_buckets is None:
+        length_buckets = auto_length_buckets(lengths)
+        logger.info("auto length buckets: %s", length_buckets)
+    buckets = sorted(length_buckets)
     bucket_of = np.searchsorted(buckets, lengths)
     over = np.flatnonzero(bucket_of == len(buckets))
     split_ids = None

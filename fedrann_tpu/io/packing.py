@@ -105,18 +105,71 @@ def segment_spans(length: int, max_len: int, overlap: int) -> list[tuple[int, in
         start += stride
 
 
+def auto_length_buckets(
+    lengths,
+    floor: int = 1024,
+    cap: int = 262144,
+    min_frac: float = 0.02,
+    max_buckets: int = 8,
+) -> tuple[int, ...]:
+    """Power-of-two bucket ladder derived from the read-length histogram.
+
+    Every downstream device stage (candidate staging, the blocked
+    selection sort, the embed gather) does work proportional to the PADDED
+    read length, so coarse fixed buckets tax real rungs heavily: 15 kb
+    HiFi reads in a 65536 bucket leave 77% of the staged window slots
+    dead. The ladder here is the set of pow2 size classes the reads
+    actually occupy, with low-mass classes (< min_frac of reads) merged
+    upward so the compiled-program set stays small, clamped to
+    [floor, cap] (reads past cap are chunk-split as before). Deterministic
+    in the input lengths."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    lengths = lengths[lengths > 0]
+    if lengths.size == 0:
+        return (int(floor),)
+    classes = np.maximum(
+        floor, 1 << np.ceil(np.log2(lengths)).astype(np.int64)
+    )
+    classes = np.minimum(classes, cap)
+    uniq, counts = np.unique(classes, return_counts=True)
+    total = int(counts.sum())
+    keep: list[int] = []
+    mass: list[int] = []
+    carried = 0
+    for c, n in zip(uniq, counts):
+        carried += int(n)
+        if carried >= min_frac * total or c == uniq[-1]:
+            keep.append(int(c))
+            mass.append(carried)
+            carried = 0
+    # bound the ladder: merge the least-populated bucket upward (its reads
+    # fit the next bucket by construction; the largest never merges away)
+    while len(keep) > max_buckets:
+        i = int(np.argmin(mass[:-1]))
+        mass[i + 1] += mass[i]
+        del keep[i], mass[i]
+    return tuple(keep)
+
+
 def pack_reads(
     records: Iterable[FastxRecord],
-    length_buckets: Sequence[int],
+    length_buckets: Sequence[int] | None,
     pad_rows_to: int = 8,
     split_overlap: int | None = None,
 ) -> PackedReads:
-    """Group reads into the smallest bucket that fits. Reads longer than the
-    largest bucket are chunk-split into overlapping segments when
+    """Group reads into the smallest bucket that fits. length_buckets=None
+    derives the ladder from the data (auto_length_buckets). Reads longer
+    than the largest bucket are chunk-split into overlapping segments when
     split_overlap (= k-1) is given, else truncated (counted + logged). Row
     counts per bucket are padded up to a multiple of `pad_rows_to` with
     all-INVALID rows (read_index -1) so downstream device shapes stay
     tile-friendly."""
+    if length_buckets is None:
+        records = list(records)
+        length_buckets = auto_length_buckets(
+            [len(r.sequence) for r in records]
+        )
+        logger.info("auto length buckets: %s", length_buckets)
     buckets = sorted(length_buckets)
     names: list[str] = []
     per_bucket: list[list[np.ndarray]] = [[] for _ in buckets]

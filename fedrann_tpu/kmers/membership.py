@@ -330,16 +330,17 @@ def stage_candidates(bases, k, hit_buffer, keep_all, seed32, threshold,
 
 def staging_width(w: int, fraction: float) -> int:
     """Per-read candidate-buffer width: sampling mean + 6 sigma, rounded
-    up to a multiple of 512 (capped at the window count). Every downstream
-    membership/embed gather scales with this width, and gathers are
-    per-element-bound on this platform (~8 ns/elem forced — bench notes),
-    so tight sizing matters more than pow2 shape classes. Occurrences are
-    Poisson-ish for non-repetitive reads (6 sigma = never drops); heavily
-    repetitive reads can exceed any fixed multiplier and are caught by the
-    overflow counter + warning instead."""
+    up to a multiple of 128 (one lane tile; capped at the window count).
+    Every downstream membership/embed gather scales with this width, and
+    gathers are per-element-bound on this platform (~8 ns/elem forced —
+    bench notes), so tight sizing matters more than coarse shape classes
+    (512-rounding cost up to 1.6x dead gather slots at the rung shapes).
+    Occurrences are Poisson-ish for non-repetitive reads (6 sigma = never
+    drops); heavily repetitive reads can exceed any fixed multiplier and
+    are caught by the overflow counter + warning instead."""
     mean = fraction * w
     width = int(mean + 6.0 * mean ** 0.5) + 1
-    return min(w, max(512, -(-width // 512) * 512))
+    return min(w, max(512, -(-width // 128) * 128))
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -418,7 +418,7 @@ def run_pipeline_multihost(config):
         _try_load_library_ckpt,
         compute_embeddings,
     )
-    from fedrann_tpu.project.srp import build_precompute
+    from fedrann_tpu.project.srp import build_precompute_paired
 
     out_dir = config.output_dir
     metrics = StageMetrics()
@@ -526,7 +526,7 @@ def run_pipeline_multihost(config):
         with metrics.stage("project"):
             p_dtype = (jnp.float32 if config.projection_dtype == "f32"
                        else jnp.bfloat16)
-            p_ext = build_precompute(
+            p_pair = build_precompute_paired(
                 jnp.asarray(library.counts), config.embedding_dimension,
                 config.projection_seed, config.projection_density,
                 dtype=p_dtype,
@@ -549,7 +549,7 @@ def run_pipeline_multihost(config):
                         emb_local = jnp.asarray(np.load(emb_npy))
             if emb_local is None:
                 emb_local, _ = compute_embeddings(
-                    local, library, config, p_ext, get_staged(), metrics
+                    local, library, config, p_pair, get_staged(), metrics
                 )
                 if emb_npy:
                     from fedrann_tpu.io.blockio import np_save_chunked
@@ -559,7 +559,7 @@ def run_pipeline_multihost(config):
                         json.dump(fp, f)
         # embed was the last consumer: release the table before the k-NN
         # allocates (same HBM-headroom reasoning as run_pipeline)
-        del p_ext
+        del p_pair
 
         per = process_quota(n_reads, nproc, row_multiple)
 

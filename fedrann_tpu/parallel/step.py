@@ -34,7 +34,7 @@ from fedrann_tpu.kmers.membership import (
 from fedrann_tpu.knn.ring import _allgather_body, _ring_body
 from fedrann_tpu.knn.topk import normalize_rows
 from fedrann_tpu.parallel.mesh import DATA_AXIS, shard_map_norep
-from fedrann_tpu.project.embed import embed_hits_pair_mirror
+from fedrann_tpu.project.embed import embed_hits_paired
 
 
 def make_sharded_step(
@@ -54,7 +54,7 @@ def make_sharded_step(
     """Build the jitted sharded step.
 
     Returned fn(bases (R, L) uint8, lib (words..., table) pytree,
-    p_ext (2L+1, d) f32, p_swapped (2L+1, d) f32)
+    p_pair (L+1, 2d) paired projection (srp.build_precompute_paired))
     -> (distances (2R, k_nn), indices (2R, k_nn)).
     R must divide by the mesh size (pad with all-INVALID rows host-side);
     pass the REAL read count as n_reads so the padding rows (embedding rows
@@ -65,7 +65,7 @@ def make_sharded_step(
     """
     n_dev = mesh.devices.size
 
-    def body(bases_local, lib, p_ext):
+    def body(bases_local, lib, p_pair):
         words, table = lib
         index = LibraryIndex(words, table, k, bits, steps, table_packed)
         hits, _, _ = read_hits(
@@ -73,7 +73,7 @@ def make_sharded_step(
             hit_buffer=hit_buffer, sampling=sampling,
         )
         lib_size = words[0].shape[0]
-        e_fwd, e_rev = embed_hits_pair_mirror(hits, p_ext, lib_size)
+        e_fwd, e_rev = embed_hits_paired(hits, p_pair, lib_size)
         b = e_fwd.shape[0]
         e = jnp.stack([e_fwd, e_rev], axis=1).reshape(2 * b, e_fwd.shape[1])
         en = normalize_rows(e)
@@ -93,8 +93,9 @@ def make_sharded_step(
 
 
 def shard_step_inputs(mesh, bases, library_codes_u64: np.ndarray, k: int,
-                      p_ext):
-    """Build + place inputs with the shardings make_sharded_step expects.
+                      p_pair):
+    """Build + place inputs with the shardings make_sharded_step expects
+    (p_pair: the paired-layout projection, srp.build_precompute_paired).
     Returns (args tuple, index) — pass index.bits/index.steps/index.packed
     to make_sharded_step."""
     index = build_library_index(library_codes_u64, k)
@@ -105,6 +106,6 @@ def shard_step_inputs(mesh, bases, library_codes_u64: np.ndarray, k: int,
             tuple(jax.device_put(w, rep) for w in index.words),
             jax.device_put(index.table, rep),
         ),
-        jax.device_put(p_ext, rep),
+        jax.device_put(p_pair, rep),
     )
     return args, index

@@ -41,8 +41,8 @@ from fedrann_tpu.logging_utils import (
 )
 from fedrann_tpu.metrics import MemorySampler, StageMetrics
 from fedrann_tpu.oracle import KmerLibrary
-from fedrann_tpu.project.embed import embed_hits_pair_mirror
-from fedrann_tpu.project.srp import build_precompute
+from fedrann_tpu.project.embed import embed_hits_paired
+from fedrann_tpu.project.srp import build_precompute_paired, pair_projection
 
 
 @dataclasses.dataclass
@@ -251,7 +251,7 @@ def _scatter_embeddings(buf, t_fwd, t_rev, e_fwd, e_rev):
     jax.jit, donate_argnums=(0,),
     static_argnames=("k", "bits", "steps", "packed", "lib_size"),
 )
-def _embed_chunk_fused(buf, planes, lib_words, table, p_ext, t_fwd, t_rev,
+def _embed_chunk_fused(buf, planes, lib_words, table, p_pair, t_fwd, t_rev,
                        k, bits, steps, packed, lib_size):
     """ONE device program per chunk for the embed stage: membership lookup
     -> paired fwd/rev embedding -> scatter into the donated (2R+1, d)
@@ -263,7 +263,7 @@ def _embed_chunk_fused(buf, planes, lib_words, table, p_ext, t_fwd, t_rev,
 
     hits, _ = _read_hits_staged(planes, lib_words, table, k, bits, steps,
                                 packed)
-    e_fwd, e_rev = embed_hits_pair_mirror(hits, p_ext, lib_size)
+    e_fwd, e_rev = embed_hits_paired(hits, p_pair, lib_size)
     buf = buf.at[t_fwd].set(e_fwd)
     return buf.at[t_rev].set(e_rev)
 
@@ -272,7 +272,7 @@ def _embed_chunk_fused(buf, planes, lib_words, table, p_ext, t_fwd, t_rev,
     jax.jit,
     static_argnames=("k", "bits", "steps", "packed", "lib_size"),
 )
-def _embed_chunk_rows(planes, lib_words, table, p_ext, k, bits, steps,
+def _embed_chunk_rows(planes, lib_words, table, p_pair, k, bits, steps,
                       packed, lib_size):
     """Fused membership+embed returning the chunk's (rows, d) fwd/rev
     embedding blocks instead of scattering them — the out-of-core path
@@ -282,14 +282,14 @@ def _embed_chunk_rows(planes, lib_words, table, p_ext, k, bits, steps,
 
     hits, _ = _read_hits_staged(planes, lib_words, table, k, bits, steps,
                                 packed)
-    return embed_hits_pair_mirror(hits, p_ext, lib_size)
+    return embed_hits_paired(hits, p_pair, lib_size)
 
 
 def compute_embeddings(
     packed: PackedReads,
     library: KmerLibrary,
     config: PipelineConfig,
-    p_ext: jnp.ndarray,
+    p_pair: jnp.ndarray,
     staged_chunks,
     metrics: Optional[StageMetrics] = None,
     out: str = "device",
@@ -310,7 +310,7 @@ def compute_embeddings(
 
     _t = _time.perf_counter()
     n_reads = packed.n_reads
-    d = p_ext.shape[1]
+    d = p_pair.shape[1] // 2  # paired-layout table (srp.py): row = [fwd|rev]
     host_out = out == "host"
     if host_out:
         buf_h = np.zeros((2 * n_reads, d), np.float32)
@@ -338,16 +338,16 @@ def compute_embeddings(
     split_rows: list[tuple[np.ndarray, np.ndarray]] = []
     _t = _tlog("embed prep (lib index upload)", _t)
     # roofline accounting: the embed stage is bound by projection-table row
-    # gathers — 2 gathered d-rows per staged slot (fwd + mirrored rev) plus
-    # the (2R, d) f32 output writes
+    # gathers — one 2d-wide paired row per staged slot (fwd + mirrored rev
+    # halves) plus the (2R, d) f32 output writes
     staged_slots = sum(
         int(np.prod(s[0][0][0].shape)) for s in staged_chunks if s is not None
     )
     if metrics is not None:
         metrics.add_work(
             "embed",
-            hbm_bytes=(2.0 * staged_slots * d * p_ext.dtype.itemsize
-                       + 2.0 * n_reads * d * 4),
+            hbm_bytes=(1.0 * staged_slots * p_pair.shape[1]
+                       * p_pair.dtype.itemsize + 2.0 * n_reads * d * 4),
         )
 
     for ci in range(len(staged_chunks)):
@@ -363,7 +363,7 @@ def compute_embeddings(
         if not has_split and library.size > 0:
             if host_out:
                 e_fwd, e_rev = _embed_chunk_rows(
-                    planes, lib_index.words, lib_index.table, p_ext,
+                    planes, lib_index.words, lib_index.table, p_pair,
                     config.kmer_size, lib_index.bits, lib_index.steps,
                     lib_index.packed, library.size,
                 )
@@ -374,7 +374,7 @@ def compute_embeddings(
                 t_fwd = jnp.asarray(np.where(keep, 2 * idx, garbage))
                 t_rev = jnp.asarray(np.where(keep, 2 * idx + 1, garbage))
                 buf = _embed_chunk_fused(
-                    buf, planes, lib_index.words, lib_index.table, p_ext,
+                    buf, planes, lib_index.words, lib_index.table, p_pair,
                     t_fwd, t_rev, config.kmer_size, lib_index.bits,
                     lib_index.steps, lib_index.packed, library.size,
                 )
@@ -390,7 +390,7 @@ def compute_embeddings(
                 rows = np.flatnonzero(seg)
                 split_rows.append((idx[rows], np.asarray(hits[rows])))
             keep = keep & ~is_split
-        e_fwd, e_rev = embed_hits_pair_mirror(hits, p_ext, library.size)
+        e_fwd, e_rev = embed_hits_paired(hits, p_pair, library.size)
         if host_out:
             rows = np.flatnonzero(keep)
             buf_h[2 * idx[rows]] = np.asarray(e_fwd)[rows]
@@ -416,8 +416,8 @@ def compute_embeddings(
         hit_mat = np.full((m, width), sentinel, np.int32)
         for r, (_, u) in enumerate(unions):
             hit_mat[r, : len(u)] = u
-        e_fwd, e_rev = embed_hits_pair_mirror(
-            jnp.asarray(hit_mat), p_ext, library.size)
+        e_fwd, e_rev = embed_hits_paired(
+            jnp.asarray(hit_mat), p_pair, library.size)
         # int32 indices: int64 scatter operands compile ~100x slower on
         # this Mosaic toolchain (docs/TPU_PLATFORM_NOTES.md)
         rids = np.asarray([rid for rid, _ in unions], np.int32)
@@ -557,16 +557,19 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                     _, perm = load_reference_library_mapping(
                         config.import_library, config.kmer_size
                     )
-                p_ext = jnp.asarray(
-                    load_reference_precompute(config.import_projection, perm)
+                p_flat = load_reference_precompute(
+                    config.import_projection, perm
                 )
-                if p_ext.shape[0] != library.n_features + 1:
+                if p_flat.shape[0] != library.n_features + 1:
                     raise ValueError(
-                        f"imported projection has {p_ext.shape[0] - 1} "
+                        f"imported projection has {p_flat.shape[0] - 1} "
                         f"feature rows; library needs {library.n_features}"
                     )
-                logger.info("imported reference projection %s %s",
-                            config.import_projection, p_ext.shape)
+                # host-side re-layout into the embed stage's paired format
+                # (one 2d-wide row per canonical feature, srp.py)
+                p_pair = jnp.asarray(pair_projection(p_flat, xp=np))
+                logger.info("imported reference projection %s %s (paired)",
+                            config.import_projection, p_flat.shape)
             else:
                 # bf16 projection storage, f32 accumulation in the embed
                 # gathers. Originally a chr1-scale HBM fix (a full f32
@@ -585,7 +588,7 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                 # DeviceLibrary counts are already on device; .counts
                 # would D2H them only to re-upload
                 counts_dev = getattr(library, "counts_dev", None)
-                p_ext = build_precompute(
+                p_pair = build_precompute_paired(
                     counts_dev if counts_dev is not None
                     else jnp.asarray(library.counts),
                     config.embedding_dimension,
@@ -615,7 +618,7 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                 emb = np.asarray(emb)
             if emb is None:
                 emb, _ = compute_embeddings(
-                    packed, library, config, p_ext, get_staged(), metrics,
+                    packed, library, config, p_pair, get_staged(), metrics,
                     out="host" if ooc else "device",
                 )
                 if ckpt_dir:
@@ -629,9 +632,9 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
 
         # embed was the last consumer of the projection table: release it
         # before the k-NN allocates its normalized copy (at the chr1 rung
-        # p_ext is 4.6 GB bf16 and HBM headroom decides whether the rung
-        # fits at all)
-        del p_ext
+        # the paired table is 4.6 GB bf16 and HBM headroom decides whether
+        # the rung fits at all)
+        del p_pair
 
         with metrics.stage("knn"):
             n_dev = len(jax.devices())

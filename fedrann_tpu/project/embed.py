@@ -32,6 +32,60 @@ def swap_halves(p_ext: jax.Array, lib_size: int) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("lib_size", "hit_chunk"))
+def embed_hits_paired(
+    hits: jax.Array, p_pair: jax.Array, lib_size: int,
+    hit_chunk: int = 128,
+) -> tuple[jax.Array, jax.Array]:
+    """(fwd, rev) embeddings from the PAIRED projection table
+    (srp.build_precompute_paired): ONE 2d-wide row gather per staged slot.
+
+    TPU row gathers are per-row-bound, not bandwidth-bound at d=512
+    (bench/micro_embed.py), so fetching a hit's forward row AND its
+    mirror's row as one 2d-wide row halves the gather count for the same
+    bytes — and unlike the old [P | P_swapped] concat trick it costs ZERO
+    extra HBM (p_pair is the same table, re-laid-out), so it applies at
+    every library size including the chr1/whole-human rungs.
+
+    Index map: hit f < L gathers p_pair[f] = [P[f] | P[f+L]] directly; a
+    rev-feature hit f >= L gathers p_pair[f - L] = [P[f-L] | P[f]] with
+    halves logically swapped; the sentinel 2L maps to the zero row L.
+    The swap is applied in the SUM/DIFFERENCE basis so no select ever
+    touches the gathered tile (measured: a roll-under-select on the
+    (r, hc, 2d) gather output cost +40% over the bare gather; this form
+    is within noise of it): with u = g_left + g_right and
+    v = +-(g_left - g_right) (sign = -1 for swapped slots),
+    fwd = (U + V)/2 and rev = (U - V)/2 where U, V are the f32 sums."""
+    r, h = hits.shape
+    d2 = p_pair.shape[1]
+    d = d2 // 2
+    sentinel = 2 * lib_size
+    pad = (-h) % hit_chunk
+    if pad:
+        hits = jnp.concatenate(
+            [hits, jnp.full((r, pad), sentinel, dtype=hits.dtype)], axis=1
+        )
+    n_chunks = hits.shape[1] // hit_chunk
+    blocks = hits.reshape(r, n_chunks, hit_chunk).transpose(1, 0, 2)
+    j_blocks = jnp.where(blocks >= lib_size, blocks - lib_size, blocks)
+    swap_blocks = blocks >= lib_size
+
+    def body(carry, args):
+        u_acc, v_acc = carry
+        jb, sb = args
+        g = jnp.take(p_pair, jb, axis=0)
+        gl, gr = g[..., :d], g[..., d:]
+        sign = jnp.where(sb[..., None], -jnp.ones((), g.dtype),
+                         jnp.ones((), g.dtype))
+        u_acc = u_acc + jnp.sum(gl + gr, axis=1, dtype=jnp.float32)
+        v_acc = v_acc + jnp.sum((gl - gr) * sign, axis=1, dtype=jnp.float32)
+        return (u_acc, v_acc), None
+
+    zeros = jnp.zeros((r, d), jnp.float32)
+    (u, v), _ = jax.lax.scan(body, (zeros, zeros), (j_blocks, swap_blocks))
+    return (u + v) * 0.5, (u - v) * 0.5
+
+
+@functools.partial(jax.jit, static_argnames=("lib_size", "hit_chunk"))
 def embed_hits_pair_mirror(
     hits: jax.Array, p_ext: jax.Array, lib_size: int,
     hit_chunk: int = 128,

@@ -79,3 +79,64 @@ def build_precompute(
     if not parts:
         return zero_row
     return jnp.concatenate(parts + [zero_row], axis=0)
+
+
+def build_precompute_paired(
+    counts: jax.Array,
+    n_components: int,
+    seed: int,
+    density: float | None = None,
+    chunk: int = 1 << 16,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """(L + 1, 2 * n_components) PAIRED projection layout: row j holds
+    [P[j] | P[j + L]] — a feature's forward row and its mirror's row side
+    by side — with a trailing all-zero sentinel row (j = L).
+
+    Same entries, bitwise, as build_precompute; only the layout differs.
+    This is the embed stage's hot format: the fwd and rev contributions of
+    one staged hit live in ONE 2d-wide table row, so the gather-bound
+    embed pays half the row gathers of the flat layout at identical HBM
+    footprint (embed.embed_hits_paired). Built directly from the
+    counter-based SRP stream, so no flat (2L+1, d) table or transient
+    second copy ever materializes."""
+    icf = icf_weights_device(counts)
+    n_features = icf.shape[0]
+    lib_size = int(counts.shape[0])
+    if density is None:
+        density = 1.0 / float(n_features) ** 0.5 if n_features else 1.0
+    seed_mix = splitmix64(jnp.uint64(seed))
+    parts = []
+    for start in range(0, lib_size, chunk):
+        size = min(chunk, lib_size - start)
+        # ICF is shared by the fwd/rev halves (icf[j] == icf[j + L] by
+        # construction), but the SRP stream is indexed by the FLAT feature
+        # id, so the right half draws features [L+start, L+start+size)
+        left = _srp_chunk(seed_mix, icf[start : start + size], n_components,
+                          density, start, size).astype(dtype)
+        right = _srp_chunk(
+            seed_mix, icf[lib_size + start : lib_size + start + size],
+            n_components, density, lib_size + start, size,
+        ).astype(dtype)
+        parts.append(jnp.concatenate([left, right], axis=1))
+    zero_row = jnp.zeros((1, 2 * n_components), dtype=dtype)
+    if not parts:
+        return zero_row
+    return jnp.concatenate(parts + [zero_row], axis=0)
+
+
+def pair_projection(p_ext, xp=jnp):
+    """Flat (2L+1, d) table -> paired (L+1, 2d) layout (imported /
+    reference-produced tables; freshly built ones use
+    build_precompute_paired and never exist flat)."""
+    n_rows, d = p_ext.shape
+    lib_size = (n_rows - 1) // 2
+    return xp.concatenate(
+        [
+            xp.concatenate(
+                [p_ext[:lib_size], p_ext[lib_size : 2 * lib_size]], axis=1
+            ),
+            xp.zeros((1, 2 * d), p_ext.dtype),
+        ],
+        axis=0,
+    )

@@ -305,6 +305,70 @@ def test_embed_hits_pair_matches_mirror_path():
     assert np.allclose(np.asarray(e_r), np.asarray(ref_r), atol=1e-5)
 
 
+def test_build_precompute_paired_matches_flat():
+    """Paired layout (L+1, 2d) must hold bitwise the same entries as the
+    flat (2L+1, d) table: row j = [P[j] | P[j+L]], row L = zeros."""
+    from fedrann_tpu.project.srp import (
+        build_precompute_paired,
+        pair_projection,
+    )
+
+    counts = np.array([2, 7, 13, 40, 3, 9, 21], dtype=np.int64)
+    d, seed = 32, 2094
+    flat = np.asarray(build_precompute(jnp.asarray(counts), d, seed, chunk=3,
+                                       dtype=jnp.float32))
+    paired = np.asarray(build_precompute_paired(
+        jnp.asarray(counts), d, seed, chunk=3, dtype=jnp.float32))
+    lib = len(counts)
+    assert paired.shape == (lib + 1, 2 * d)
+    np.testing.assert_array_equal(paired[:lib, :d], flat[:lib])
+    np.testing.assert_array_equal(paired[:lib, d:], flat[lib : 2 * lib])
+    assert np.all(paired[lib] == 0)
+    # host-side re-layout of an imported flat table agrees too
+    np.testing.assert_array_equal(pair_projection(flat, xp=np), paired)
+    # bf16 chunk-cast path (the production dtype) matches as well
+    flat16 = np.asarray(build_precompute(jnp.asarray(counts), d, seed,
+                                         chunk=3, dtype=jnp.bfloat16)
+                        .astype(jnp.float32))
+    paired16 = np.asarray(build_precompute_paired(
+        jnp.asarray(counts), d, seed, chunk=3, dtype=jnp.bfloat16)
+        .astype(jnp.float32))
+    np.testing.assert_array_equal(paired16[:lib, :d], flat16[:lib])
+    np.testing.assert_array_equal(paired16[:lib, d:], flat16[lib : 2 * lib])
+
+
+def test_embed_hits_paired_matches_mirror_path():
+    """One 2d-wide gather + half-roll select must equal mirror_hits + a
+    second embed pass over the flat table, including rev-feature hits
+    (f >= L) and sentinel padding."""
+    from fedrann_tpu.project.embed import embed_hits_paired
+    from fedrann_tpu.project.srp import pair_projection
+
+    rng = np.random.default_rng(21)
+    lib_size, d = 50, 16
+    p = rng.normal(size=(2 * lib_size + 1, d)).astype(np.float32)
+    p[-1] = 0
+    sentinel = 2 * lib_size
+    hits = np.full((6, 12), sentinel, dtype=np.int32)
+    for r in range(6):
+        n = rng.integers(0, 10)
+        feat = np.sort(rng.choice(2 * lib_size, size=n, replace=False))
+        hits[r, :n] = feat
+    hits_j = jnp.asarray(hits)
+    p_j = jnp.asarray(p)
+    p_pair = jnp.asarray(pair_projection(p, xp=np))
+    e_f, e_r = embed_hits_paired(hits_j, p_pair, lib_size, hit_chunk=5)
+    ref_f = embed_hits(hits_j, p_j)
+    ref_r = embed_hits(mirror_hits(hits_j, lib_size), p_j)
+    assert np.allclose(np.asarray(e_f), np.asarray(ref_f), atol=1e-5)
+    assert np.allclose(np.asarray(e_r), np.asarray(ref_r), atol=1e-5)
+    # empty-library edge: sentinel-only hits embed to exact zeros
+    e0_f, e0_r = embed_hits_paired(
+        jnp.zeros((3, 4), jnp.int32), jnp.zeros((1, 2 * d), jnp.float32), 0
+    )
+    assert np.all(np.asarray(e0_f) == 0) and np.all(np.asarray(e0_r) == 0)
+
+
 def test_read_hits_hit_buffer_matches_full():
     """Pre-compaction staging buffer must not change results when sized
     adequately."""

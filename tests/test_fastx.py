@@ -42,6 +42,43 @@ def test_bad_format(tmp_path):
         list(read_fastx(str(p)))
 
 
+def test_auto_length_buckets():
+    from fedrann_tpu.io.packing import auto_length_buckets
+
+    # pow2 classes actually occupied, low-mass classes merged upward
+    lengths = [900] * 50 + [1500] * 40 + [3000] * 9 + [250000] * 1
+    ladder = auto_length_buckets(lengths, min_frac=0.02, floor=1024)
+    assert ladder == (1024, 2048, 4096, 262144)
+    # a low-mass class merges into the next one UP (never down: its reads
+    # would not fit a smaller bucket), so a long-tail top class survives
+    ladder = auto_length_buckets([1500] * 1 + [3000] * 99, min_frac=0.02)
+    assert ladder == (4096,)
+    ladder = auto_length_buckets([1000] * 99 + [1500] * 1, min_frac=0.02)
+    assert ladder == (1024, 2048)
+    # the cap clamps ultra-long reads (they chunk-split downstream)
+    assert auto_length_buckets([10_000_000]) == (262144,)
+    # ladder size bound: least-populated buckets merge upward first
+    lengths = sum(([1 << b] * (b + 1) for b in range(10, 18)), [])
+    ladder = auto_length_buckets(lengths, min_frac=0.0, max_buckets=3)
+    assert len(ladder) == 3 and ladder[-1] == 1 << 17
+    # empty input still yields a usable ladder
+    assert auto_length_buckets([]) == (1024,)
+
+
+def test_pack_reads_auto_buckets_roundtrip():
+    from fedrann_tpu.io.packing import auto_length_buckets
+
+    recs = [FastxRecord(f"r{i}", "ACGT" * (200 + 37 * i)) for i in range(10)]
+    packed = pack_reads(recs, length_buckets=None)
+    expect = auto_length_buckets([len(r.sequence) for r in recs])
+    assert tuple(sorted(b.length for b in packed.buckets)) <= expect
+    assert packed.n_reads == 10
+    # every read landed in the smallest bucket that fits
+    for b in packed.buckets:
+        real = b.read_index >= 0
+        assert np.all(b.lengths[real] <= b.length)
+
+
 def test_encode_bases():
     codes = encode_bases("ACGTacgtNX")
     assert list(codes[:8]) == [0, 1, 2, 3, 0, 1, 2, 3]

@@ -12,7 +12,7 @@ from fedrann_tpu.io.packing import pack_reads
 from fedrann_tpu.knn.topk import knn_exact
 from fedrann_tpu.parallel.mesh import make_mesh
 from fedrann_tpu.parallel.step import make_sharded_step, shard_step_inputs
-from fedrann_tpu.project.srp import build_precompute
+from fedrann_tpu.project.srp import build_precompute_paired
 from fedrann_tpu.sim import simulate_reads
 
 
@@ -37,9 +37,9 @@ def test_sharded_step_matches_single_device(k, precision, dist_atol,
     bucket = packed.buckets[0]
     # rows already padded to a multiple of 8 == mesh size
     bases = jnp.asarray(bucket.bases)
-    p_ext = build_precompute(jnp.asarray(lib.counts), 64, 2094)
+    p_pair = build_precompute_paired(jnp.asarray(lib.counts), 64, 2094)
 
-    args, index = shard_step_inputs(mesh, bases, lib.codes, k, p_ext)
+    args, index = shard_step_inputs(mesh, bases, lib.codes, k, p_pair)
     step = make_sharded_step(
         mesh, k=k, max_hits=1024, n_neighbors=6, precision=precision,
         strategy="ring", bits=index.bits, steps=index.steps,
@@ -98,8 +98,8 @@ def test_sharded_step_masks_padding_rows():
     assert (bucket.read_index >= 0).sum() == n_real
     assert bucket.bases.shape[0] == 16
     bases = jnp.asarray(bucket.bases)
-    p_ext = build_precompute(jnp.asarray(lib.counts), 64, 2094)
-    args, index = shard_step_inputs(mesh, bases, lib.codes, k, p_ext)
+    p_pair = build_precompute_paired(jnp.asarray(lib.counts), 64, 2094)
+    args, index = shard_step_inputs(mesh, bases, lib.codes, k, p_pair)
     n_nb = 8
     step = make_sharded_step(
         mesh, k=k, max_hits=1024, n_neighbors=n_nb, precision="fp32",
