@@ -34,11 +34,17 @@ def icf_weights_device(counts: jax.Array) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_components", "density", "chunk_start", "chunk_size")
+    jax.jit, static_argnames=("n_components", "density", "chunk_size")
 )
 def _srp_chunk(seed_mix, icf_chunk, n_components, density, chunk_start, chunk_size):
+    # chunk_start is TRACED (a uint64 scalar): with it static, every chunk
+    # of a large table compiled its own program (69 compiles / 12 s cold at
+    # the chr1 rung); traced, the whole build is one program per
+    # (chunk_size, d) pair. The iota+add produces the same uint64 feature
+    # ids bitwise.
     f = (
-        jnp.arange(chunk_start, chunk_start + chunk_size, dtype=jnp.uint64)[:, None]
+        (jnp.arange(chunk_size, dtype=jnp.uint64)
+         + jnp.asarray(chunk_start, dtype=jnp.uint64))[:, None]
         * _GOLDEN
     )
     c = jnp.arange(n_components, dtype=jnp.uint64)[None, :]
