@@ -91,6 +91,10 @@ def run_one(cfg, warm: bool = True, compute_recall: bool = True) -> dict:
             "--threads", "4",
             *cfg.extra_args,
         ]
+        # ad-hoc experiment flags (A/B runs) without editing configs.py;
+        # recorded in the result row so experimental rows are labeled
+        extra_env = os.environ.get("FEDRANN_BENCH_EXTRA_ARGS", "").split()
+        args += extra_env
         config = config_from_args(args)
         if warm:
             run_pipeline(config)
@@ -121,6 +125,7 @@ def run_one(cfg, warm: bool = True, compute_recall: bool = True) -> dict:
                 truth_recall(result.neighbor_indices, t2, n_reads), 4)
     return {
         **strat,
+        **({"extra_args": " ".join(extra_env)} if extra_env else {}),
         "config": cfg.name,
         "warm": warm,
         "n_reads": n_reads,

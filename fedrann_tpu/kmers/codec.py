@@ -217,6 +217,98 @@ def window_codes(bases: jax.Array, k: int):
     return code, rc, valid
 
 
+def _pairrev32(x: jax.Array) -> jax.Array:
+    """Reverse the order of the 16 2-bit groups of a uint32 (4 butterfly
+    steps; the 2-bit groups themselves stay intact)."""
+    x = ((x & jnp.uint32(0x0000FFFF)) << jnp.uint32(16)) | (x >> jnp.uint32(16))
+    x = ((x & jnp.uint32(0x00FF00FF)) << jnp.uint32(8)) | (
+        (x >> jnp.uint32(8)) & jnp.uint32(0x00FF00FF))
+    x = ((x & jnp.uint32(0x0F0F0F0F)) << jnp.uint32(4)) | (
+        (x >> jnp.uint32(4)) & jnp.uint32(0x0F0F0F0F))
+    x = ((x & jnp.uint32(0x33333333)) << jnp.uint32(2)) | (
+        (x >> jnp.uint32(2)) & jnp.uint32(0x33333333))
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("k", "length"))
+def canonical_window_codes_packed(words: jax.Array, lengths: jax.Array,
+                                  k: int, length: int):
+    """canonical_window_codes computed DIRECTLY on the 2-bit-packed read
+    stream — O(1) elementwise passes instead of the k-step rolling build.
+
+    The k-step unrolled codec (window_codes) was measured as the single
+    largest cost of the staging stage once the blocked selection landed
+    (bench/micro_stage.py: 85-128 ms/chunk vs 54-69 ms for the selection
+    sort at the rung shapes — it updates 3-5 (R, W) planes per base step).
+    The packed form makes the whole extraction O(1) passes: the native
+    packer (fastxpack.cpp fastx_fill_bucket_packed) stores base j at bits
+    2*(j%4) of byte j/4, so a little-endian uint32 view of the row IS the
+    2-bit LSB-first base stream. For the k-window at base i with
+    v = stream bits [2i, 2i+2k):
+
+      rc   = ~v & mask          (complement of the LSB-first value IS the
+                                 MSB-first reverse-complement code)
+      code = pairrev(v) >> (64-2k)   (reversing the 2-bit groups turns
+                                 LSB-first into the MSB-first forward code)
+
+    v itself comes from two (three for k > 16) word-expanded shift/or
+    passes, and pairrev is 4 butterfly steps — ~20 elementwise ops total,
+    independent of k.
+
+    words: (R, ceil(length/16)) uint32 little-endian view of the packed
+    bases. lengths: (R,) int32 valid-prefix lengths (this path serves the
+    prefix-valid buckets; mid-read-N buckets use the unpacked codec).
+    length: the bucket's base count (static). Returns (canon, is_fwd,
+    valid) with the exact canonical_window_codes contract.
+    """
+    r, nw = words.shape
+    w = length - k + 1
+    two_words = k > 16
+    need = nw + (2 if two_words else 1)
+    ww = jnp.concatenate(
+        [words, jnp.zeros((r, need - nw), jnp.uint32)], axis=1)
+    # word q = i >> 4 holds bases [16q, 16q+16); expanding each word 16x
+    # puts word i>>4 at column i
+    exp = jnp.repeat(ww, 16, axis=1)
+    w0 = exp[:, :w]
+    w1 = exp[:, 16 : w + 16]
+    s = 2 * (jax.lax.broadcasted_iota(jnp.uint32, (1, w), 1) & jnp.uint32(15))
+    # (x >> 32) is undefined; route the s == 0 case through a select
+    up = jnp.where(s == 0, jnp.uint32(0), w1 << (jnp.uint32(32) - s))
+    v_lo = (w0 >> s) | up
+    if not two_words:
+        mask = jnp.uint32((1 << (2 * k)) - 1) if 2 * k < 32 \
+            else jnp.uint32(0xFFFFFFFF)
+        v = v_lo & mask
+        code = (_pairrev32(v_lo) >> jnp.uint32(32 - 2 * k)) if 2 * k < 32 \
+            else _pairrev32(v_lo)
+        rc = (~v) & mask
+        canon = (jnp.where(code <= rc, code, rc),)
+        is_fwd = code <= rc
+    else:
+        w2 = exp[:, 32 : w + 32]
+        up2 = jnp.where(s == 0, jnp.uint32(0), w2 << (jnp.uint32(32) - s))
+        hmask = jnp.uint32((1 << (2 * k - 32)) - 1)
+        v_hi = ((w1 >> s) | up2) & hmask
+        # full 64-bit pair-reversal of (v_hi << 32 | v_lo), then >> (64-2k)
+        p_lo = _pairrev32(v_lo)
+        p_hi = _pairrev32(v_hi)
+        sh = jnp.uint32(64 - 2 * k)  # in [2, 30] for 17 <= k <= 31
+        code_hi = p_lo >> sh
+        code_lo = (p_hi >> sh) | (p_lo << (jnp.uint32(32) - sh))
+        rc_hi = (~v_hi) & hmask
+        rc_lo = ~v_lo
+        code = (code_hi, code_lo)
+        rcw = (rc_hi, rc_lo)
+        is_fwd = words_leq(code, rcw)
+        canon = words_min(code, rcw)
+    valid = (jax.lax.broadcasted_iota(jnp.int32, (r, w), 1)
+             < (lengths.astype(jnp.int32) - jnp.int32(k - 1))[:, None])
+    sent = jnp.uint32(0xFFFFFFFF)
+    canon = tuple(jnp.where(valid, wrd, sent) for wrd in canon)
+    return canon, is_fwd, valid
+
+
 def pack_strand(canon: tuple, is_fwd: jax.Array, k: int) -> tuple:
     """Pack the strand bit INTO the code words so ONE sort key plane (two
     for k > 16) carries (code, is_fwd) — sorting and deduplicating staged

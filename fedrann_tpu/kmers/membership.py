@@ -274,9 +274,18 @@ def stage_candidates(bases, k, hit_buffer, keep_all, seed32, threshold,
     embed path dedups by adjacency). n_dropped (R,) int32 counts candidate
     occurrences beyond the staged buffer (blocked: per-block cap overflow
     counts too)."""
+    canon, is_fwd, valid = canonical_window_codes(bases, k)
+    return select_candidates(canon, is_fwd, valid, k, hit_buffer, keep_all,
+                             seed32, threshold, block_cap)
+
+
+def select_candidates(canon, is_fwd, valid, k, hit_buffer, keep_all, seed32,
+                      threshold, block_cap=None):
+    """Sampling filter + blocked selection + narrow dedup sort over
+    precomputed canonical window codes (the post-codec half of
+    stage_candidates; the packed-codec fast path feeds it directly)."""
     from fedrann_tpu.kmers.codec import sample_hash32
 
-    canon, is_fwd, valid = canonical_window_codes(bases, k)
     r, w = valid.shape
     if keep_all:
         cand = valid

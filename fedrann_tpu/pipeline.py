@@ -96,10 +96,23 @@ def _stage_chunk_fused(arrs, start, rows, length, mode, k, hit_buffer,
     (3 launches/chunk -> 1), and the unpacked (rows, L) bases tensor
     becomes a jit-internal temp instead of an HBM-resident intermediate
     held between launches."""
-    from fedrann_tpu.kmers.codec import unpack_bases, unpack_bases_len
-    from fedrann_tpu.kmers.membership import stage_candidates
+    from fedrann_tpu.kmers.codec import (
+        canonical_window_codes_packed,
+        unpack_bases,
+        unpack_bases_len,
+    )
+    from fedrann_tpu.kmers.membership import select_candidates, stage_candidates
 
     sl = jax.lax.dynamic_slice_in_dim(arrs[0], start, rows, axis=0)
+    if mode == "packed":
+        # prefix-valid buckets skip the (rows, L) base unpack AND the
+        # k-step rolling codec: window codes come straight off the uint32
+        # view of the 2-bit-packed stream in O(1) passes
+        # (codec.canonical_window_codes_packed)
+        ll = jax.lax.dynamic_slice_in_dim(arrs[1], start, rows, axis=0)
+        canon, is_fwd, valid = canonical_window_codes_packed(sl, ll, k, length)
+        return select_candidates(canon, is_fwd, valid, k, hit_buffer,
+                                 keep_all, seed32, threshold, block_cap)
     if mode == "bases":
         bases = sl
     elif mode == "len":
@@ -184,9 +197,18 @@ def _stage_chunks(packed: PackedReads, config: PipelineConfig,
                 )
                 bucket.prefix_valid = prefix_valid  # memoize: ~4 s/30 MB
             if prefix_valid:
-                mode = "len"
+                pb = bucket.packed_bases
+                if pb.shape[1] % 4 == 0 and pb.dtype == np.uint8:
+                    # little-endian u32 view of the packed stream: the
+                    # O(1)-pass packed codec consumes it directly (base j
+                    # sits at bits 2*(j%16) of word j//16 — fastxpack.cpp
+                    # fill layout)
+                    mode = "packed"
+                    pb = pb.view("<u4")
+                else:
+                    mode = "len"
                 arrs = (
-                    _pad_rows_device(jnp.asarray(bucket.packed_bases), rows, 0),
+                    _pad_rows_device(jnp.asarray(pb), rows, 0),
                     _pad_rows_device(
                         jnp.asarray(bucket.lengths.astype(np.int32)), rows, 0
                     ),

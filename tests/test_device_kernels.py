@@ -518,3 +518,64 @@ def test_distance_u16_transfer_roundtrip():
     assert err.max() <= 0.5 / DIST_SCALE + 1e-7, err.max()
     exact = transfer_dist(jnp.asarray(d), "f32")
     assert np.array_equal(exact, d)
+
+
+@pytest.mark.parametrize("k", [15, 16, 21, 31])
+def test_canonical_window_codes_packed_matches_unpacked(k):
+    """The O(1)-pass packed-stream codec is bitwise-identical to the
+    k-step rolling codec on prefix-valid rows (the bucket layout the
+    native packer produces — fastxpack.cpp fastx_fill_bucket_packed)."""
+    from fedrann_tpu.kmers.codec import canonical_window_codes_packed
+
+    rng = np.random.default_rng(7)
+    r, l = 16, 512
+    lens = rng.integers(0, l + 1, r).astype(np.int32)
+    lens[0], lens[1], lens[2] = l, k - 1, 0
+    bases = rng.integers(0, 4, (r, l), dtype=np.uint8)
+    col = np.arange(l)[None, :]
+    bases_ref = np.where(col < lens[:, None], bases, 4).astype(np.uint8)
+    c_ref, f_ref, v_ref = canonical_window_codes(jnp.asarray(bases_ref), k)
+    # pack 4 bases/byte LSB-first (padding packs as A), exactly the native
+    # packer's layout, then view little-endian uint32
+    bases_pk = np.where(col < lens[:, None], bases, 0).astype(np.uint8)
+    pk = np.zeros((r, (l + 3) // 4), np.uint8)
+    for j in range(l):
+        pk[:, j >> 2] |= (bases_pk[:, j] << ((j & 3) * 2)).astype(np.uint8)
+    c_pk, f_pk, v_pk = canonical_window_codes_packed(
+        jnp.asarray(pk.view("<u4")), jnp.asarray(lens), k, l
+    )
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_pk))
+    for a, b in zip(c_ref, c_pk):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    vm = np.asarray(v_ref)
+    np.testing.assert_array_equal(np.asarray(f_ref)[vm], np.asarray(f_pk)[vm])
+
+
+@pytest.mark.parametrize("k", [15, 21])
+def test_stage_packed_mode_matches_len_mode(k):
+    """pipeline._stage_chunk_fused mode='packed' stages the identical
+    candidate planes as the unpack-then-roll 'len' mode."""
+    from fedrann_tpu.pipeline import _stage_chunk_fused
+
+    rng = np.random.default_rng(11)
+    r, l = 16, 512
+    lens = rng.integers(k, l + 1, r).astype(np.int32)
+    bases = rng.integers(0, 4, (r, l), dtype=np.uint8)
+    col = np.arange(l)[None, :]
+    bases_pk = np.where(col < lens[:, None], bases, 0).astype(np.uint8)
+    pk = np.zeros((r, (l + 3) // 4), np.uint8)
+    for j in range(l):
+        pk[:, j >> 2] |= (bases_pk[:, j] << ((j & 3) * 2)).astype(np.uint8)
+    seed32 = jnp.uint32(602)
+    threshold = jnp.uint32(int(0.25 * 2**32))
+    args = dict(start=0, rows=r, length=l, k=k, hit_buffer=128,
+                keep_all=False, seed32=seed32, threshold=threshold,
+                block_cap=None)
+    ref = _stage_chunk_fused(
+        (jnp.asarray(pk), jnp.asarray(lens)), mode="len", **args)
+    got = _stage_chunk_fused(
+        (jnp.asarray(pk.view("<u4")), jnp.asarray(lens)), mode="packed",
+        **args)
+    for a, b in zip(ref[0], got[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
