@@ -14,6 +14,7 @@
 
 #include <zlib.h>
 
+#include <atomic>
 #include <charconv>
 #include <condition_variable>
 #include <cstdint>
@@ -577,23 +578,54 @@ int64_t fastx_write_overlaps_matrix(const char* path, const char* names,
       if (t >= 0 && (uint64_t)(t >> 1) >= n_names) return -2;
     }
   }
+  // Band-pipelined formatting (chr1-scale fix: the old one-buffer-per-
+  // thread scheme allocated rows*~70 B up front — 2.5 GB at 36M rows —
+  // and the first-touch page faults on this throttled host dominated the
+  // stage at ~400-475 ns/row). Rows are split into fixed bands; workers
+  // format bands round-robin into a SMALL reused buffer ring while the
+  // main thread fwrites completed bands in order. Peak memory is
+  // RING * band bytes regardless of table size, and after the first lap
+  // every buffer page is warm.
   unsigned n_threads = std::thread::hardware_concurrency();
   if (n_threads < 1) n_threads = 1;
   if (n_threads > 8) n_threads = 8;
-  uint64_t per = (n_rows + n_threads - 1) / n_threads;
-  std::vector<std::string> bufs(n_threads);
-  std::vector<int64_t> counts(n_threads, 0);
-  std::vector<std::thread> workers;
-  for (unsigned w = 0; w < n_threads; ++w) {
-    workers.emplace_back([&, w]() {
-      uint64_t lo = w * per, hi = lo + per;
-      if (hi > n_rows) hi = n_rows;
-      if (lo >= hi) return;
-      std::string& out = bufs[w];
-      out.reserve((hi - lo) * k * (2 * max_name + 40) / 2);
-      size_t row_cap = 2 * max_name + 64;
-      std::vector<char> row(row_cap);
+  const uint64_t BAND = 2048;
+  const unsigned RING = 2 * n_threads + 2;
+  uint64_t n_bands = (n_rows + BAND - 1) / BAND;
+  std::vector<std::string> ring(RING);
+  std::vector<int64_t> band_count(RING, 0);
+  // slot s may hold band b only when every band below b - (RING - 1) is
+  // flushed; state: next band each slot may accept (producer side) and a
+  // ready flag (consumer side)
+  std::vector<int64_t> slot_ready(RING, -1);  // band id formatted, -1 free
+  std::mutex mu;
+  std::condition_variable cv_ready, cv_free;
+  std::atomic<uint64_t> next_band{0};
+  std::atomic<uint64_t> flushed{0};  // bands fully written to the file
+  std::atomic<bool> failed{false};
+
+  auto worker = [&]() {
+    size_t row_cap = 2 * max_name + 64;
+    std::vector<char> row(row_cap);
+    for (;;) {
+      uint64_t b = next_band.fetch_add(1);
+      if (b >= n_bands || failed.load()) return;
+      unsigned s = (unsigned)(b % RING);
+      {
+        // wait until the slot's previous occupant (band b - RING) is on
+        // disk
+        std::unique_lock<std::mutex> lk(mu);
+        cv_free.wait(lk, [&] {
+          return failed.load() || b < RING || flushed.load() >= b - RING + 1;
+        });
+        if (failed.load()) return;
+      }
+      std::string& out = ring[s];
+      out.clear();
+      out.reserve(BAND * k * (2 * max_name + 48));
       int64_t written = 0;
+      uint64_t lo = b * BAND, hi = lo + BAND;
+      if (hi > n_rows) hi = n_rows;
       for (uint64_t q = lo; q < hi; ++q) {
         uint64_t g = row_offset + q;  // global embedding row
         const char* qname = names + name_offsets[g >> 1];
@@ -610,23 +642,47 @@ int64_t fastx_write_overlaps_matrix(const char* path, const char* names,
           ++written;
         }
       }
-      counts[w] = written;
-    });
-  }
-  for (auto& t : workers) t.join();
+      band_count[s] = written;
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        slot_ready[s] = (int64_t)b;
+      }
+      cv_ready.notify_all();
+    }
+  };
+
   FILE* f = fopen(path, "ab");
   if (!f) return -1;
+  std::vector<std::thread> workers;
+  for (unsigned w = 0; w < n_threads; ++w) workers.emplace_back(worker);
   int64_t total = 0;
-  for (unsigned w = 0; w < n_threads; ++w) {
-    if (!bufs[w].empty() &&
-        fwrite_chunked(bufs[w].data(), bufs[w].size(), f) != bufs[w].size()) {
-      fclose(f);
-      return -3;
+  int64_t rc = 0;
+  for (uint64_t b = 0; b < n_bands; ++b) {
+    unsigned s = (unsigned)(b % RING);
+    {
+      std::unique_lock<std::mutex> lk(mu);
+      cv_ready.wait(lk, [&] { return slot_ready[s] == (int64_t)b; });
     }
-    total += counts[w];
+    std::string& out = ring[s];
+    if (!out.empty() &&
+        fwrite_chunked(out.data(), out.size(), f) != out.size()) {
+      failed.store(true);
+      rc = -3;
+      cv_free.notify_all();
+      break;
+    }
+    total += band_count[s];
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      slot_ready[s] = -1;
+      flushed.store(b + 1);
+    }
+    cv_free.notify_all();
   }
+  cv_free.notify_all();
+  for (auto& t : workers) t.join();
   fclose(f);
-  return total;
+  return rc < 0 ? rc : total;
 }
 
 // Append overlap rows to an opened-for-write FILE (path), reference TSV
