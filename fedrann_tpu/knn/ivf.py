@@ -613,8 +613,9 @@ def knn_ivf(
     spill: clusters each DB row is indexed in (overlapping clusters).
     Read embeddings lie on the genome's 1-D overlap manifold, so k-means
     boundaries cut true neighbor pairs; spill=2 re-finds them from the
-    other side for 2x rescore FLOPs (measured at the rungs: recall
-    0.78 -> ~0.95 at the same probe count — bench/results.jsonl ab rows).
+    other side for 2x rescore FLOPs. Measured recall/speedup rows live in
+    bench/results.jsonl ("ab": "ivf" rows, post-spill); BASELINE.md
+    summarizes the current state of the exact-vs-IVF bar.
     """
     n = int(embeddings.shape[0])
     c = n_clusters or auto_clusters(n)

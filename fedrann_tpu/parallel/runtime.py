@@ -502,8 +502,8 @@ def run_pipeline_multihost(config):
                 # k-mers survive; the global threshold applies after the
                 # count merge
                 shard_lib = build_library_on_device(
-                    [staged_codes(s[0], config.kmer_size)
-                     for s, _ in get_staged()],
+                    [staged_codes(b.planes, config.kmer_size)
+                     for b in get_staged()],
                     config.kmer_size, 1,
                     config.kmer_sample_fraction, config.seed,
                     presampled=config.kmer_sample_fraction < 1.0,

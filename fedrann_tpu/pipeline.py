@@ -71,15 +71,49 @@ def _tlog(tag: str, t0: float) -> float:
     return now
 
 
-def _pad_chunk(chunk: np.ndarray, rows: int, fill) -> np.ndarray:
-    """Pad a final partial chunk up to the full chunk shape so every chunk of
-    a bucket shares ONE compiled executable (compile time dominates on
-    remote-compile platforms)."""
-    if len(chunk) == rows:
-        return chunk
-    pad_shape = (rows - len(chunk), *chunk.shape[1:])
-    from fedrann_tpu.io.packing import full_fast
-    return np.concatenate([chunk, full_fast(pad_shape, fill, chunk.dtype)])
+def _pow2_groups(n: int):
+    """Binary decomposition of a chunk count into descending power-of-two
+    group sizes: 176 -> [128, 32, 16]. Scanned group programs then exist
+    only at pow2 trip counts (few compile variants, cache-stable across
+    datasets) with ZERO padded/garbage chunks executed."""
+    out = []
+    bit = 1 << (max(n, 1)).bit_length()
+    while n:
+        bit >>= 1
+        if n >= bit:
+            out.append(bit)
+            n -= bit
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rows", "length", "mode", "k", "hit_buffer", "keep_all",
+                     "block_cap", "n_chunks"),
+)
+def _stage_group_scan(arrs, start0, rows, length, mode, k, hit_buffer,
+                      keep_all, seed32, threshold, block_cap, n_chunks):
+    """ONE device program for n_chunks consecutive chunks: lax.scan over
+    the chunk starts with _stage_chunk_fused's body. Per-program dispatch
+    costs ~30 ms wall on this tunneled platform regardless of work
+    (bench notes round 5) and chunk dispatches do NOT pipeline, so
+    one-program-per-chunk paid ~30 ms x n_chunks of pure launch overhead
+    (176 chunks at the chr1 rung). The scan keeps the compiled body at the
+    single-chunk shape (compile-time-safe; an 8192-row monolithic chunk
+    program ran >30 min in Mosaic) while amortizing the launch over the
+    whole group. Returns (planes (n_chunks, rows, W), dropped
+    (n_chunks, rows))."""
+    starts = start0 + jnp.arange(n_chunks, dtype=jnp.int32) * rows
+
+    def body(_, st):
+        planes, dropped = _stage_chunk_fused.__wrapped__(
+            arrs, st, rows, length, mode, k, hit_buffer, keep_all, seed32,
+            threshold, block_cap,
+        )
+        return None, (planes, dropped)
+
+    _, (planes, dropped) = jax.lax.scan(body, None, starts)
+    return planes, dropped
 
 
 @functools.partial(
@@ -136,14 +170,31 @@ def _pad_rows_device(arr: jax.Array, multiple: int, fill) -> jax.Array:
     )
 
 
+class StagedBucket:
+    """One length-bucket's staged candidates, chunk-stacked: planes is a
+    word-plane tuple of (n_chunks, rows, W_staged) uint32 device arrays,
+    dropped (n_chunks, rows) int32, read_index (n_chunks, rows) int32 host
+    array (-1 = padding row). Downstream stages scan the chunk axis inside
+    single programs instead of dispatching per chunk."""
+
+    __slots__ = ("planes", "dropped", "read_index")
+
+    def __init__(self, planes, dropped, read_index):
+        self.planes = planes
+        self.dropped = dropped
+        self.read_index = read_index
+
+
 def _stage_chunks(packed: PackedReads, config: PipelineConfig,
                   metrics: Optional[StageMetrics] = None):
     """Upload each bucket ONCE (no host-side pad copies: fresh multi-MB
     numpy allocations fault pages at ~30 MB/s here), then run the fused
-    slice+decode+stage program per chunk. Both the count and the embed
-    stages consume the result. chunk_size (the reference's --chunk-size,
-    reads per processing chunk) caps the rows per chunk when given.
-    Returns [(staged_triple, host read_index (rows,))]. metrics (if given)
+    slice+decode+stage scan in pow2-sized chunk GROUPS (one program per
+    group — per-program dispatch is ~30 ms on this platform and does not
+    pipeline, so per-chunk dispatch was pure overhead x chunk count).
+    Both the count and the embed stages consume the result. chunk_size
+    (the reference's --chunk-size, reads per processing chunk) caps the
+    rows per chunk when given. Returns [StagedBucket]. metrics (if given)
     accrues the host->device upload bytes for roofline accounting."""
     from fedrann_tpu.io.packing import INVALID
     from fedrann_tpu.kmers.membership import selection_cap, staging_width
@@ -233,23 +284,36 @@ def _stage_chunks(packed: PackedReads, config: PipelineConfig,
         block_cap = (None if keep_all
                      else selection_cap(config.kmer_sample_fraction))
         h2d_bytes += sum(int(a.nbytes) for a in arrs)
-        for start in range(0, n_rows_total, rows):
-            idx = _pad_chunk(
-                bucket.read_index[start : start + rows].reshape(-1, 1), rows, -1
-            ).ravel()
-            staged = _stage_chunk_fused(
-                arrs, start, rows, length, mode, config.kmer_size,
-                hit_buffer, keep_all, seed32, threshold,
-                block_cap=block_cap,
+        n_chunks = -(-n_rows_total // rows)
+        # host-side read-index stack (padding rows = -1)
+        idx_stack = np.full((n_chunks, rows), -1, np.int32)
+        flat = idx_stack.reshape(-1)
+        flat[:n_rows_total] = bucket.read_index[:n_rows_total]
+        group_parts = []
+        ofs = 0
+        for gsize in _pow2_groups(n_chunks):
+            group_parts.append(_stage_group_scan(
+                arrs, jnp.int32(ofs * rows), rows, length, mode,
+                config.kmer_size, hit_buffer, keep_all, seed32, threshold,
+                block_cap, gsize,
+            ))
+            ofs += gsize
+        if len(group_parts) == 1:
+            planes, dropped = group_parts[0]
+        else:
+            planes = tuple(
+                jnp.concatenate([g[0][i] for g in group_parts])
+                for i in range(len(group_parts[0][0]))
             )
-            out.append((staged, idx))
+            dropped = jnp.concatenate([g[1] for g in group_parts])
+        out.append(StagedBucket(planes, dropped, idx_stack))
     if metrics is not None:
         metrics.add_work("stage", h2d_bytes=h2d_bytes)
     _t = _tlog("stage queue", _t)
     # ONE device round-trip for the overflow total (a per-chunk int() costs
     # a full tunnel RTT each on remote hosts)
     overflow = int(jax.device_get(
-        sum(jnp.sum(s[1]) for s, _ in out)
+        sum(jnp.sum(b.dropped) for b in out)
     )) if out else 0
     _t = _tlog("stage sync", _t)
     if overflow:
@@ -271,23 +335,35 @@ def _scatter_embeddings(buf, t_fwd, t_rev, e_fwd, e_rev):
 
 @functools.partial(
     jax.jit, donate_argnums=(0,),
-    static_argnames=("k", "bits", "steps", "packed", "lib_size"),
+    static_argnames=("k", "bits", "steps", "packed", "lib_size", "n_chunks"),
 )
-def _embed_chunk_fused(buf, planes, lib_words, table, p_pair, t_fwd, t_rev,
-                       k, bits, steps, packed, lib_size):
-    """ONE device program per chunk for the embed stage: membership lookup
-    -> paired fwd/rev embedding -> scatter into the donated (2R+1, d)
-    buffer. The old 3-launch chain paid per-launch tunnel latency each and
-    held the (rows, W) hit matrix in HBM between programs; here it is a
-    jit-internal temp. Chunks containing chunk-split read segments use the
-    unfused path (their hit rows must reach the host for the exact union)."""
+def _embed_group_scan(buf, planes_stack, t_fwd, t_rev, start0, lib_words,
+                      table, p_pair, k, bits, steps, packed, lib_size,
+                      n_chunks):
+    """ONE device program embedding n_chunks consecutive chunks of a
+    bucket stack: scan over the chunk axis of (n_chunks_total, rows, W)
+    staged planes, fused membership -> paired embed -> scatter into the
+    donated (2R+1, d) buffer per step. Same launch-amortization reasoning
+    as _stage_group_scan (~30 ms/dispatch floor, VERDICT r5 bench notes);
+    the compiled body stays at the single-chunk shape."""
     from fedrann_tpu.kmers.membership import _read_hits_staged
 
-    hits, _ = _read_hits_staged(planes, lib_words, table, k, bits, steps,
-                                packed)
-    e_fwd, e_rev = embed_hits_paired(hits, p_pair, lib_size)
-    buf = buf.at[t_fwd].set(e_fwd)
-    return buf.at[t_rev].set(e_rev)
+    def body(b, i):
+        pl = tuple(
+            jax.lax.dynamic_index_in_dim(p, i, 0, keepdims=False)
+            for p in planes_stack
+        )
+        tf = jax.lax.dynamic_index_in_dim(t_fwd, i, 0, keepdims=False)
+        tr = jax.lax.dynamic_index_in_dim(t_rev, i, 0, keepdims=False)
+        hits, _ = _read_hits_staged(pl, lib_words, table, k, bits, steps,
+                                    packed)
+        e_fwd, e_rev = embed_hits_paired(hits, p_pair, lib_size)
+        b = b.at[tf].set(e_fwd)
+        return b.at[tr].set(e_rev), None
+
+    idxs = start0 + jnp.arange(n_chunks, dtype=jnp.int32)
+    buf, _ = jax.lax.scan(body, buf, idxs)
+    return buf
 
 
 @functools.partial(
@@ -357,13 +433,15 @@ def compute_embeddings(
     # overlap every window lands in exactly one segment)
     split_ids = (set(int(i) for i in packed.split_read_ids)
                  if packed.split_read_ids is not None else set())
+    split_id_arr = (np.fromiter(split_ids, np.int64, len(split_ids))
+                    if split_ids else None)
     split_rows: list[tuple[np.ndarray, np.ndarray]] = []
     _t = _tlog("embed prep (lib index upload)", _t)
     # roofline accounting: the embed stage is bound by projection-table row
     # gathers — one 2d-wide paired row per staged slot (fwd + mirrored rev
     # halves) plus the (2R, d) f32 output writes
     staged_slots = sum(
-        int(np.prod(s[0][0][0].shape)) for s in staged_chunks if s is not None
+        int(b.planes[0].size) for b in staged_chunks if b is not None
     )
     if metrics is not None:
         metrics.add_work(
@@ -372,56 +450,65 @@ def compute_embeddings(
                        * p_pair.dtype.itemsize + 2.0 * n_reads * d * 4),
         )
 
-    for ci in range(len(staged_chunks)):
-        staged, idx = staged_chunks[ci]
-        planes, pre_dropped = staged
+    garbage = 2 * n_reads
+    for bi in range(len(staged_chunks)):
+        bucket = staged_chunks[bi]
+        planes, dropped_b, idx_stack = (bucket.planes, bucket.dropped,
+                                        bucket.read_index)
         # embed is the LAST consumer of the staged buffers: free each
-        # chunk as it is consumed (1.5 GB across the chr1 rung's 176
-        # chunks — HBM headroom there is tight)
-        staged_chunks[ci] = None
-        garbage = 2 * n_reads
-        keep = idx >= 0
-        has_split = bool(split_ids) and any(int(i) in split_ids for i in idx)
-        if not has_split and library.size > 0:
-            if host_out:
+        # bucket as it is consumed (1.5 GB across the chr1 rung — HBM
+        # headroom there is tight)
+        staged_chunks[bi] = None
+        n_chunks = idx_stack.shape[0]
+        keep = idx_stack >= 0
+        is_split = (np.isin(idx_stack, split_id_arr)
+                    if split_id_arr is not None
+                    else np.zeros_like(keep))
+        dropped_parts.append(jnp.sum(dropped_b))
+        if library.size == 0:
+            continue  # zero-hit rows stay exact zero vectors
+        keep_scan = keep & ~is_split
+        t_fwd = np.where(keep_scan, 2 * idx_stack.astype(np.int64),
+                         garbage).astype(np.int32)
+        t_rev = np.where(keep_scan, 2 * idx_stack.astype(np.int64) + 1,
+                         garbage).astype(np.int32)
+        if host_out:
+            # out-of-core regime: each chunk's rows cross to the host as
+            # produced (the device buffer must never exist) — per-chunk
+            # dispatch is inherent to the host round trip here
+            for ci in range(n_chunks):
+                pl = tuple(p[ci] for p in planes)
                 e_fwd, e_rev = _embed_chunk_rows(
-                    planes, lib_index.words, lib_index.table, p_pair,
+                    pl, lib_index.words, lib_index.table, p_pair,
                     config.kmer_size, lib_index.bits, lib_index.steps,
                     lib_index.packed, library.size,
                 )
-                rows = np.flatnonzero(keep)
-                buf_h[2 * idx[rows]] = np.asarray(e_fwd)[rows]
-                buf_h[2 * idx[rows] + 1] = np.asarray(e_rev)[rows]
-            else:
-                t_fwd = jnp.asarray(np.where(keep, 2 * idx, garbage))
-                t_rev = jnp.asarray(np.where(keep, 2 * idx + 1, garbage))
-                buf = _embed_chunk_fused(
-                    buf, planes, lib_index.words, lib_index.table, p_pair,
-                    t_fwd, t_rev, config.kmer_size, lib_index.bits,
-                    lib_index.steps, lib_index.packed, library.size,
-                )
-            dropped_parts.append(jnp.sum(pre_dropped))
-            continue
-        hits, _, dropped = read_hits_staged(
-            (planes, pre_dropped), lib_index, config.kmer_size,
-        )
-        if split_ids:
-            is_split = np.asarray([int(i) in split_ids for i in idx])
-            seg = keep & is_split
-            if seg.any():
-                rows = np.flatnonzero(seg)
-                split_rows.append((idx[rows], np.asarray(hits[rows])))
-            keep = keep & ~is_split
-        e_fwd, e_rev = embed_hits_paired(hits, p_pair, library.size)
-        if host_out:
-            rows = np.flatnonzero(keep)
-            buf_h[2 * idx[rows]] = np.asarray(e_fwd)[rows]
-            buf_h[2 * idx[rows] + 1] = np.asarray(e_rev)[rows]
+                rows = np.flatnonzero(keep_scan[ci])
+                buf_h[2 * idx_stack[ci][rows]] = np.asarray(e_fwd)[rows]
+                buf_h[2 * idx_stack[ci][rows] + 1] = np.asarray(e_rev)[rows]
         else:
-            t_fwd = jnp.asarray(np.where(keep, 2 * idx, garbage))
-            t_rev = jnp.asarray(np.where(keep, 2 * idx + 1, garbage))
-            buf = _scatter_embeddings(buf, t_fwd, t_rev, e_fwd, e_rev)
-        dropped_parts.append(jnp.sum(dropped))
+            tf_dev = jnp.asarray(t_fwd)
+            tr_dev = jnp.asarray(t_rev)
+            ofs = 0
+            for gsize in _pow2_groups(n_chunks):
+                buf = _embed_group_scan(
+                    buf, planes, tf_dev, tr_dev, jnp.int32(ofs),
+                    lib_index.words, lib_index.table, p_pair,
+                    config.kmer_size, lib_index.bits, lib_index.steps,
+                    lib_index.packed, library.size, gsize,
+                )
+                ofs += gsize
+        if is_split.any():
+            # slow path per affected chunk: the segment hit rows must
+            # reach the host for the exact per-read union
+            for ci in np.flatnonzero(is_split.any(axis=1)):
+                pl = tuple(p[int(ci)] for p in planes)
+                hits, _, _ = read_hits_staged(
+                    (pl, dropped_b[int(ci)]), lib_index, config.kmer_size,
+                )
+                rows = np.flatnonzero(keep[ci] & is_split[ci])
+                split_rows.append(
+                    (idx_stack[ci][rows], np.asarray(hits[rows])))
 
     if split_rows:
         sentinel = 2 * library.size
@@ -662,15 +749,37 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
             n_dev = len(jax.devices())
             use_mesh = (config.knn_sharded == "always"
                         or (config.knn_sharded == "auto" and n_dev > 1))
-            if ooc:
+            if ooc and config.knn_method == "ivf":
+                # sub-quadratic x past-HBM composition (VERDICT r4 item
+                # 4b): rows host-reordered by home cluster along the 1-D
+                # centroid order; each query slab uploads only the
+                # candidate blocks its probes touch (knn/ooc.py)
+                from fedrann_tpu.knn.ooc import knn_ivf_ooc
+
+                if use_mesh:
+                    logger.warning(
+                        "out-of-core k-NN streams through one device; "
+                        "mesh sharding is overridden past the HBM budget"
+                    )
+                idx, dist = knn_ivf_ooc(
+                    emb, config.n_neighbors,
+                    hbm_budget=config.knn_hbm_budget,
+                    n_clusters=config.knn_ivf_clusters,
+                    n_probes=config.knn_ivf_probes,
+                    spill=config.knn_ivf_spill,
+                    query_tile=config.knn_query_tile,
+                    candidate_tile=config.knn_candidate_tile,
+                    precision=config.knn_precision,
+                    method=config.knn_topk_method,
+                    transfer=config.knn_transfer,
+                )
+            elif ooc:
                 from fedrann_tpu.knn.ooc import knn_exact_ooc
 
-                if config.knn_method == "ivf" or use_mesh:
+                if use_mesh:
                     logger.warning(
-                        "out-of-core k-NN is single-device exact search; "
-                        "knn_method=%s / mesh sharding are overridden past "
-                        "the HBM budget (compose them below the budget, or "
-                        "raise --knn-hbm-budget)", config.knn_method,
+                        "out-of-core k-NN streams through one device; "
+                        "mesh sharding is overridden past the HBM budget"
                     )
                 idx, dist = knn_exact_ooc(
                     emb, config.n_neighbors,
@@ -758,7 +867,7 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
             # halves both when active — knn/topk.py)
             n_rows_knn = int(emb.shape[0])
             flops = 2.0 * n_rows_knn * n_rows_knn * emb.shape[1]
-            if config.knn_method == "ivf" and not ooc:
+            if config.knn_method == "ivf":
                 from fedrann_tpu.knn.ivf import auto_clusters
 
                 c_eff = config.knn_ivf_clusters or auto_clusters(n_rows_knn)
@@ -931,9 +1040,10 @@ def _load_or_build_library(
         staged_chunks = get_staged()
     from fedrann_tpu.kmers.membership import staged_codes
 
+    # ONE launch per bucket: staged_codes is shape-agnostic over the
+    # chunk-stacked (n_chunks, rows, W) planes
     canon_chunks = [
-        staged_codes(staged[0], config.kmer_size)
-        for staged, _ in staged_chunks
+        staged_codes(b.planes, config.kmer_size) for b in staged_chunks
     ]
     library = build_library_on_device(
         canon_chunks, config.kmer_size, config.kmer_min_multiplicity,

@@ -113,3 +113,71 @@ def test_parse_bytes():
     assert parse_bytes("1024") == 1024
     assert parse_bytes(None) is None
     assert parse_bytes("1.5G") == int(1.5 * (1 << 30))
+
+
+@pytest.mark.parametrize("transfer", ["f32", "u16"])
+def test_ivf_ooc_matches_ivf_recall(transfer):
+    """knn_ivf_ooc (VERDICT r4 item 4b: sub-quadratic x past-HBM) scores a
+    SUPERSET of knn_ivf's probed clusters at the same (C, p, spill), so
+    its recall vs exact must be >= the in-core IVF's, the self row keeps
+    rank 0, and every returned distance is exact."""
+    from fedrann_tpu.knn.ivf import knn_ivf
+    from fedrann_tpu.knn.ooc import knn_ivf_ooc
+
+    n, d = 6000, 64
+    emb = _emb(n, d, seed=3)
+    k = 10
+    idx_e, dist_e = knn_exact(emb, k, transfer="f32")
+    idx_i, _ = knn_ivf(emb, k, n_clusters=64, n_probes=8, spill=2,
+                       transfer="f32")
+    idx_o, dist_o = knn_ivf_ooc(
+        emb, k, hbm_budget=1 << 26, n_clusters=64, n_probes=8, spill=2,
+        block_rows=1024, query_tile=256, transfer=transfer,
+    )
+    assert idx_o.shape == idx_e.shape
+    r_ivf = _recall(idx_i, idx_e)
+    r_ooc = _recall(idx_o, idx_e)
+    assert r_ooc >= r_ivf - 1e-9, (r_ooc, r_ivf)
+    assert (idx_o[:, 0] == np.arange(n)).mean() > 0.99
+    # exact distances on whatever it returns: check against the exact
+    # distance of the same (query, target) pairs
+    en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sample = np.random.default_rng(0).integers(0, n, 200)
+    for q in sample:
+        for j in range(k):
+            t = idx_o[q, j]
+            if t < 0:
+                continue
+            true_d = 1.0 - float(en[q] @ en[t])
+            assert abs(float(dist_o[q, j]) - true_d) < 6e-2  # bf16 + u16 wire
+
+
+def test_ivf_ooc_pipeline_valve(tmp_path):
+    """--knn-method ivf composes with --knn-hbm-budget end-to-end (the
+    warn-and-override branch is gone)."""
+    from fedrann_tpu.cli import config_from_args
+    from fedrann_tpu.pipeline import run_pipeline
+    from fedrann_tpu.sim import simulate_reads, write_fasta
+
+    sim = simulate_reads(genome_length=60000, coverage=8,
+                         mean_read_length=1500, error_rate=0.02, seed=11)
+    fasta = str(tmp_path / "reads.fasta")
+    write_fasta(fasta, sim.names, sim.sequences)
+    out_e = str(tmp_path / "exact")
+    base = [
+        "-i", fasta, "-k", "13", "--kmer-sample-fraction", "0.2",
+        "--kmer-min-multiplicity", "2", "-n", "128",
+        "--nndescent-n-neighbors", "10", "--seed", "7",
+        "--length-buckets", "2048",
+    ]
+    exact = run_pipeline(config_from_args(base + ["-o", out_e]))
+    out_i = str(tmp_path / "ivf")
+    got = run_pipeline(config_from_args(base + [
+        "-o", out_i, "--knn-method", "ivf", "--knn-ivf-clusters", "16",
+        "--knn-ivf-probes", "16", "--knn-hbm-budget", "4M",
+    ]))
+    n_rows = exact.neighbor_indices.shape[0]
+    # probes == clusters -> every cluster scored: same neighbor sets as
+    # exact (up to ties), through the ooc streaming machinery
+    r = _recall(got.neighbor_indices, exact.neighbor_indices)
+    assert r > 0.99, r
