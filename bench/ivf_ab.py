@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -63,11 +65,15 @@ def run_ab(name: str, probes_list: list[int]) -> list[dict]:
         result = run_pipeline(config_from_args(args))
         return result, time.perf_counter() - t0
 
-    # warm pass (compiles + fxcache), then the timed exact run
+    # warm pass (compiles + fxcache), then the timed exact run. Results
+    # are stripped to host arrays IMMEDIATELY: PipelineResult.embeddings
+    # is a device-resident (2R, d) matrix (2.95 GB at the chr1 rung), and
+    # holding the exact pass's copy across the IVF passes OOM'd the chip.
     run(["--knn-method", "exact"])
     exact, wall_e = run(["--knn-method", "exact"])
-    idx_e = exact.neighbor_indices
+    idx_e = np.asarray(exact.neighbor_indices)
     knn_e = exact.metrics["knn"]["seconds"]
+    del exact
     n, k = idx_e.shape
 
     rows = []
@@ -75,8 +81,9 @@ def run_ab(name: str, probes_list: list[int]) -> list[dict]:
         ivf_args = ["--knn-method", "ivf", "--knn-ivf-probes", str(p)]
         run(ivf_args)  # warm (ivf compiles)
         ivf, wall_i = run(ivf_args)
-        idx_i = ivf.neighbor_indices
+        idx_i = np.asarray(ivf.neighbor_indices)
         knn_i = ivf.metrics["knn"]["seconds"]
+        del ivf
         recall = sum(
             len(set(idx_i[r]) & set(idx_e[r])) for r in range(n)
         ) / (n * k)

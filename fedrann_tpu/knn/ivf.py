@@ -66,7 +66,7 @@ def _kmeans(en: jax.Array, n_clusters: int, iters: int):
     n, d = en.shape
     init_rows = (jnp.arange(n_clusters, dtype=jnp.int32)
                  * jnp.int32(n // max(n_clusters, 1)))
-    cent = en[init_rows]
+    cent = en[init_rows].astype(jnp.float32)
 
     def assign(cent):
         scores = jax.lax.dot_general(
@@ -78,7 +78,10 @@ def _kmeans(en: jax.Array, n_clusters: int, iters: int):
 
     def step(cent, _):
         a = assign(cent)
-        sums = jax.ops.segment_sum(en, a, num_segments=n_clusters)
+        # f32 accumulation regardless of en's wire dtype (the cast fuses
+        # into the scatter-add; no full-matrix f32 temp materializes)
+        sums = jax.ops.segment_sum(en.astype(jnp.float32), a,
+                                   num_segments=n_clusters)
         norm = jnp.linalg.norm(sums, axis=1, keepdims=True)
         # empty clusters keep their previous centroid
         new = jnp.where(norm > 0, sums / jnp.where(norm == 0, 1.0, norm), cent)
@@ -222,14 +225,41 @@ def _scatter_group(buf_d, buf_i, qt_g, st_g, dist_g, idx_g):
 
 @functools.partial(jax.jit, static_argnames=("n", "k", "spill"))
 def _merge_buffers(buf_d, buf_i, n, k, spill):
-    merged_d = buf_d[:n].reshape(n, -1)
-    merged_i = buf_i[:n].reshape(n, -1)
-    kk = min(k, merged_d.shape[1])
-    if spill > 1:
-        return _dedup_topk(merged_d, merged_i, kk)
-    neg, pos = jax.lax.top_k(-merged_d, kk)
-    idx = jnp.take_along_axis(merged_i, pos, axis=1)
-    return -neg, jnp.where(jnp.isinf(neg), -1, idx)
+    """Row-chunked final merge: the whole-matrix stable dedup sort over
+    (N, p*kk) allocated multi-GB HLO temps at the chr1 rung (720k x 400
+    x 3 operands, OOM alongside the resident embeddings); lax.map over
+    64k-row chunks bounds the sort workspace while computing the identical
+    result (rows are independent)."""
+    w = buf_d.shape[1] * buf_d.shape[2]
+    merged_d = buf_d[:n].reshape(n, w)
+    merged_i = buf_i[:n].reshape(n, w)
+    kk = min(k, w)
+    ch = 1 << 16
+    if n <= ch:
+        if spill > 1:
+            return _dedup_topk(merged_d, merged_i, kk)
+        neg, pos = jax.lax.top_k(-merged_d, kk)
+        idx = jnp.take_along_axis(merged_i, pos, axis=1)
+        return -neg, jnp.where(jnp.isinf(neg), -1, idx)
+    pad = (-n) % ch
+    if pad:
+        merged_d = jnp.concatenate(
+            [merged_d, jnp.full((pad, w), jnp.inf, merged_d.dtype)])
+        merged_i = jnp.concatenate(
+            [merged_i, jnp.full((pad, w), -1, merged_i.dtype)])
+    d_blocks = merged_d.reshape(-1, ch, w)
+    i_blocks = merged_i.reshape(-1, ch, w)
+
+    def per_chunk(args):
+        dm, im = args
+        if spill > 1:
+            return _dedup_topk(dm, im, kk)
+        neg, pos = jax.lax.top_k(-dm, kk)
+        idx = jnp.take_along_axis(im, pos, axis=1)
+        return -neg, jnp.where(jnp.isinf(neg), -1, idx)
+
+    dist, idx = jax.lax.map(per_chunk, (d_blocks, i_blocks))
+    return dist.reshape(-1, kk)[:n], idx.reshape(-1, kk)[:n]
 
 
 def _ivf_search_grouped(en, member, qtab, stab, counts_h, qcounts_h,
@@ -634,6 +664,11 @@ def knn_ivf(
     p = min(n_probes, c)
     spill = max(1, min(spill, c))
     en = normalize_rows(jnp.asarray(embeddings))
+    if precision == "bf16":
+        # ONE wire-dtype copy up front: keeping the f32 normalized matrix
+        # (2.95 GB at chr1) alive through padding + the bf16 cast held
+        # three full copies at once and OOM'd next to the merge buffers
+        en = en.astype(jnp.bfloat16)
     cent, a, counts = _kmeans(en, c, kmeans_iters)
     if spill > 1:
         a, counts = _assign_spill(en, cent, spill)

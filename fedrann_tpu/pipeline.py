@@ -249,7 +249,10 @@ def _stage_chunks(packed: PackedReads, config: PipelineConfig,
                 bucket.prefix_valid = prefix_valid  # memoize: ~4 s/30 MB
             if prefix_valid:
                 pb = bucket.packed_bases
-                if pb.shape[1] % 4 == 0 and pb.dtype == np.uint8:
+                use_packed = os.environ.get(
+                    "FEDRANN_TPU_PACKED_CODEC", "1") != "0"
+                if use_packed and pb.shape[1] % 4 == 0 \
+                        and pb.dtype == np.uint8:
                     # little-endian u32 view of the packed stream: the
                     # O(1)-pass packed codec consumes it directly (base j
                     # sits at bits 2*(j%16) of word j//16 — fastxpack.cpp
