@@ -102,6 +102,12 @@ def run_ab(name: str, probes_list: list[int]) -> list[dict]:
             "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }
         print(json.dumps(row), flush=True)
+        # append IMMEDIATELY: a later probe's failure (e.g. OOM at a
+        # bigger p) must not lose the rows already measured
+        results_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "results.jsonl")
+        with open(results_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
         rows.append(row)
     return rows
 
@@ -117,12 +123,8 @@ def main(argv):
         else:
             names.append(argv[i])
             i += 1
-    results_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "results.jsonl")
     for name in names or ["dmel"]:
-        for row in run_ab(name, probes):
-            with open(results_path, "a") as f:
-                f.write(json.dumps(row) + "\n")
+        run_ab(name, probes)
     return 0
 
 

@@ -378,12 +378,17 @@ def _embed_chunk_rows(planes, lib_words, table, p_pair, k, bits, steps,
     """Fused membership+embed returning the chunk's (rows, d) fwd/rev
     embedding blocks instead of scattering them — the out-of-core path
     places them into the HOST-resident matrix (knn/ooc.py), where a
-    device-side (2R+1, d) buffer cannot exist by definition."""
+    device-side (2R+1, d) buffer cannot exist by definition. Rows cross
+    the wire in bf16: the OOC search casts to bf16 anyway (its wire
+    format), and device->host runs at ~10 MB/s on tunneled hosts — f32
+    rows would make the embed stage a 5-minute transfer at the human
+    rung (2.95 GB)."""
     from fedrann_tpu.kmers.membership import _read_hits_staged
 
     hits, _ = _read_hits_staged(planes, lib_words, table, k, bits, steps,
                                 packed)
-    return embed_hits_paired(hits, p_pair, lib_size)
+    e_fwd, e_rev = embed_hits_paired(hits, p_pair, lib_size)
+    return e_fwd.astype(jnp.bfloat16), e_rev.astype(jnp.bfloat16)
 
 
 def compute_embeddings(
@@ -414,7 +419,11 @@ def compute_embeddings(
     d = p_pair.shape[1] // 2  # paired-layout table (srp.py): row = [fwd|rev]
     host_out = out == "host"
     if host_out:
-        buf_h = np.zeros((2 * n_reads, d), np.float32)
+        import ml_dtypes
+
+        # bf16 host matrix: the OOC search's own wire precision, at half
+        # the D2H/ RAM of f32 (docs/TPU_PLATFORM_NOTES.md transfer rates)
+        buf_h = np.zeros((2 * n_reads, d), ml_dtypes.bfloat16)
         buf = None
     else:
         buf = jnp.zeros((2 * n_reads + 1, d), dtype=jnp.float32)

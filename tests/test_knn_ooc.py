@@ -100,8 +100,10 @@ def test_pipeline_ooc_budget_matches_incore(tmp_path):
         for r in range(n)
     )
     assert hits / (n * k) >= 0.999
-    assert np.allclose(ooc.embeddings, np.asarray(base.embeddings),
-                       atol=1e-5)
+    # host-resident rows cross the wire in bf16 (the OOC search's own
+    # precision — pipeline._embed_chunk_rows): compare at bf16 tolerance
+    assert np.allclose(np.asarray(ooc.embeddings, np.float32),
+                       np.asarray(base.embeddings), rtol=1e-2, atol=1e-2)
 
 
 def test_parse_bytes():
