@@ -96,9 +96,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Clusters each row is indexed in (overlapping "
                         "clusters; 2 recovers k-means boundary pairs on "
                         "read-overlap manifolds for 2x rescore FLOPs).")
-    p.add_argument("--projection-dtype", choices=("bf16", "f32"),
-                   default="bf16",
-                   help="Projection-table storage dtype (accumulation is "
+    p.add_argument("--projection-dtype", choices=("signs", "bf16", "f32"),
+                   default="signs",
+                   help="Projection-table storage: 'signs' (default) packs "
+                        "the ternary SRP signs 2 bits each + one f32 "
+                        "magnitude per row — 8x smaller than bf16 and "
+                        "reconstructs the f32 entries exactly; 'bf16'/'f32' "
+                        "store the dense paired table (accumulation is "
                         "always f32).")
     p.add_argument("--knn-hbm-budget", type=str, default=None,
                    help="HBM budget for the k-NN working set, e.g. '8G', "

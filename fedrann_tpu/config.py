@@ -124,7 +124,7 @@ class PipelineConfig:
     # Projection-table storage dtype: "bf16" (default — halves the embed
     # gather traffic and the resident table; accumulation stays f32) or
     # "f32" (exact storage).
-    projection_dtype: str = "bf16"
+    projection_dtype: str = "signs"
     # Write a jax.profiler trace (XPlane, viewable in TensorBoard /
     # xprof) to <output_dir>/trace. Replaces the reference's
     # memory-profiler-only story (SURVEY.md §5 tracing).
@@ -172,8 +172,9 @@ class PipelineConfig:
             raise ValueError("knn_sharded must be 'auto', 'never', or 'always'")
         if self.knn_transfer not in ("u16", "f32"):
             raise ValueError("knn_transfer must be 'u16' or 'f32'")
-        if self.projection_dtype not in ("bf16", "f32"):
-            raise ValueError("projection_dtype must be 'bf16' or 'f32'")
+        if self.projection_dtype not in ("signs", "bf16", "f32"):
+            raise ValueError(
+                "projection_dtype must be 'signs', 'bf16' or 'f32'")
         if self.knn_topk_method not in ("exact", "approx"):
             raise ValueError("knn_topk_method must be 'exact' or 'approx'")
         if self.knn_method not in ("exact", "ivf"):

@@ -418,7 +418,10 @@ def run_pipeline_multihost(config):
         _try_load_library_ckpt,
         compute_embeddings,
     )
-    from fedrann_tpu.project.srp import build_precompute_paired
+    from fedrann_tpu.project.srp import (
+        build_precompute_paired,
+        build_precompute_signs,
+    )
 
     out_dir = config.output_dir
     metrics = StageMetrics()
@@ -524,13 +527,20 @@ def run_pipeline_multihost(config):
                 )
 
         with metrics.stage("project"):
-            p_dtype = (jnp.float32 if config.projection_dtype == "f32"
-                       else jnp.bfloat16)
-            p_pair = build_precompute_paired(
-                jnp.asarray(library.counts), config.embedding_dimension,
-                config.projection_seed, config.projection_density,
-                dtype=p_dtype,
-            )
+            if config.projection_dtype == "signs":
+                p_pair = build_precompute_signs(
+                    jnp.asarray(library.counts),
+                    config.embedding_dimension,
+                    config.projection_seed, config.projection_density,
+                )
+            else:
+                p_dtype = (jnp.float32 if config.projection_dtype == "f32"
+                           else jnp.bfloat16)
+                p_pair = (build_precompute_paired(
+                    jnp.asarray(library.counts), config.embedding_dimension,
+                    config.projection_seed, config.projection_density,
+                    dtype=p_dtype,
+                ), jnp.zeros((1,), jnp.float32))
 
         with metrics.stage("embed"):
             emb_local = None

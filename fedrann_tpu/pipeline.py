@@ -41,8 +41,14 @@ from fedrann_tpu.logging_utils import (
 )
 from fedrann_tpu.metrics import MemorySampler, StageMetrics
 from fedrann_tpu.oracle import KmerLibrary
-from fedrann_tpu.project.embed import embed_hits_paired
-from fedrann_tpu.project.srp import build_precompute_paired, pair_projection
+from fedrann_tpu.project.embed import (
+    embed_hits_paired_auto,
+)
+from fedrann_tpu.project.srp import (
+    build_precompute_paired,
+    build_precompute_signs,
+    pair_projection,
+)
 
 
 @dataclasses.dataclass
@@ -338,11 +344,12 @@ def _scatter_embeddings(buf, t_fwd, t_rev, e_fwd, e_rev):
 
 @functools.partial(
     jax.jit, donate_argnums=(0,),
-    static_argnames=("k", "bits", "steps", "packed", "lib_size", "n_chunks"),
+    static_argnames=("k", "bits", "steps", "packed", "lib_size", "n_chunks",
+                     "d"),
 )
 def _embed_group_scan(buf, planes_stack, t_fwd, t_rev, start0, lib_words,
-                      table, p_pair, k, bits, steps, packed, lib_size,
-                      n_chunks):
+                      table, p_a, p_b, k, bits, steps, packed, lib_size,
+                      n_chunks, d):
     """ONE device program embedding n_chunks consecutive chunks of a
     bucket stack: scan over the chunk axis of (n_chunks_total, rows, W)
     staged planes, fused membership -> paired embed -> scatter into the
@@ -360,7 +367,7 @@ def _embed_group_scan(buf, planes_stack, t_fwd, t_rev, start0, lib_words,
         tr = jax.lax.dynamic_index_in_dim(t_rev, i, 0, keepdims=False)
         hits, _ = _read_hits_staged(pl, lib_words, table, k, bits, steps,
                                     packed)
-        e_fwd, e_rev = embed_hits_paired(hits, p_pair, lib_size)
+        e_fwd, e_rev = embed_hits_paired_auto(hits, p_a, p_b, lib_size, d)
         b = b.at[tf].set(e_fwd)
         return b.at[tr].set(e_rev), None
 
@@ -371,10 +378,10 @@ def _embed_group_scan(buf, planes_stack, t_fwd, t_rev, start0, lib_words,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "bits", "steps", "packed", "lib_size"),
+    static_argnames=("k", "bits", "steps", "packed", "lib_size", "d"),
 )
-def _embed_chunk_rows(planes, lib_words, table, p_pair, k, bits, steps,
-                      packed, lib_size):
+def _embed_chunk_rows(planes, lib_words, table, p_a, p_b, k, bits, steps,
+                      packed, lib_size, d):
     """Fused membership+embed returning the chunk's (rows, d) fwd/rev
     embedding blocks instead of scattering them — the out-of-core path
     places them into the HOST-resident matrix (knn/ooc.py), where a
@@ -387,7 +394,7 @@ def _embed_chunk_rows(planes, lib_words, table, p_pair, k, bits, steps,
 
     hits, _ = _read_hits_staged(planes, lib_words, table, k, bits, steps,
                                 packed)
-    e_fwd, e_rev = embed_hits_paired(hits, p_pair, lib_size)
+    e_fwd, e_rev = embed_hits_paired_auto(hits, p_a, p_b, lib_size, d)
     return e_fwd.astype(jnp.bfloat16), e_rev.astype(jnp.bfloat16)
 
 
@@ -395,7 +402,7 @@ def compute_embeddings(
     packed: PackedReads,
     library: KmerLibrary,
     config: PipelineConfig,
-    p_pair: jnp.ndarray,
+    proj,
     staged_chunks,
     metrics: Optional[StageMetrics] = None,
     out: str = "device",
@@ -416,7 +423,9 @@ def compute_embeddings(
 
     _t = _time.perf_counter()
     n_reads = packed.n_reads
-    d = p_pair.shape[1] // 2  # paired-layout table (srp.py): row = [fwd|rev]
+    p_a, p_b = proj  # dense paired table OR (packed signs, mags) — embed.py
+    d = (config.embedding_dimension if p_a.dtype == jnp.uint32
+         else p_a.shape[1] // 2)
     host_out = out == "host"
     if host_out:
         import ml_dtypes
@@ -458,8 +467,9 @@ def compute_embeddings(
     if metrics is not None:
         metrics.add_work(
             "embed",
-            hbm_bytes=(1.0 * staged_slots * p_pair.shape[1]
-                       * p_pair.dtype.itemsize + 2.0 * n_reads * d * 4),
+            hbm_bytes=(1.0 * staged_slots
+                       * (p_a.shape[1] * p_a.dtype.itemsize + 4)
+                       + 2.0 * n_reads * d * 4),
         )
 
     garbage = 2 * n_reads
@@ -491,9 +501,9 @@ def compute_embeddings(
             for ci in range(n_chunks):
                 pl = tuple(p[ci] for p in planes)
                 e_fwd, e_rev = _embed_chunk_rows(
-                    pl, lib_index.words, lib_index.table, p_pair,
+                    pl, lib_index.words, lib_index.table, p_a, p_b,
                     config.kmer_size, lib_index.bits, lib_index.steps,
-                    lib_index.packed, library.size,
+                    lib_index.packed, library.size, d,
                 )
                 rows = np.flatnonzero(keep_scan[ci])
                 buf_h[2 * idx_stack[ci][rows]] = np.asarray(e_fwd)[rows]
@@ -505,9 +515,9 @@ def compute_embeddings(
             for gsize in _pow2_groups(n_chunks):
                 buf = _embed_group_scan(
                     buf, planes, tf_dev, tr_dev, jnp.int32(ofs),
-                    lib_index.words, lib_index.table, p_pair,
+                    lib_index.words, lib_index.table, p_a, p_b,
                     config.kmer_size, lib_index.bits, lib_index.steps,
-                    lib_index.packed, library.size, gsize,
+                    lib_index.packed, library.size, gsize, d,
                 )
                 ofs += gsize
         if is_split.any():
@@ -537,8 +547,8 @@ def compute_embeddings(
         hit_mat = np.full((m, width), sentinel, np.int32)
         for r, (_, u) in enumerate(unions):
             hit_mat[r, : len(u)] = u
-        e_fwd, e_rev = embed_hits_paired(
-            jnp.asarray(hit_mat), p_pair, library.size)
+        e_fwd, e_rev = embed_hits_paired_auto(
+            jnp.asarray(hit_mat), p_a, p_b, library.size, d)
         # int32 indices: int64 scatter operands compile ~100x slower on
         # this Mosaic toolchain (docs/TPU_PLATFORM_NOTES.md)
         rids = np.asarray([rid for rid, _ in unions], np.int32)
@@ -688,35 +698,35 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                     )
                 # host-side re-layout into the embed stage's paired format
                 # (one 2d-wide row per canonical feature, srp.py)
-                p_pair = jnp.asarray(pair_projection(p_flat, xp=np))
+                proj = (jnp.asarray(pair_projection(p_flat, xp=np)),
+                        jnp.zeros((1,), jnp.float32))
                 logger.info("imported reference projection %s %s (paired)",
                             config.import_projection, p_flat.shape)
             else:
-                # bf16 projection storage, f32 accumulation in the embed
-                # gathers. Originally a chr1-scale HBM fix (a full f32
-                # table is 9.2 GB at 2.26M k-mers and exhausts the 16 GB
-                # chip), now the default everywhere: the embed stage is
-                # bound by the table-row gather traffic, which bf16
-                # halves. Table rounding is ~0.4% relative per entry and
-                # averages out over the hundreds of rows each read sums —
-                # golden parity (embedding cosine > 0.999, distance MAE
-                # < 5e-3) holds, CI-enforced. --projection-dtype f32
-                # restores exact storage; the cast happens chunk-by-chunk
-                # inside build_precompute so the f32 table never exists
-                # whole.
-                p_dtype = (jnp.float32 if config.projection_dtype == "f32"
-                           else jnp.bfloat16)
                 # DeviceLibrary counts are already on device; .counts
                 # would D2H them only to re-upload
                 counts_dev = getattr(library, "counts_dev", None)
-                p_pair = build_precompute_paired(
-                    counts_dev if counts_dev is not None
-                    else jnp.asarray(library.counts),
-                    config.embedding_dimension,
-                    config.projection_seed,
-                    config.projection_density,
-                    dtype=p_dtype,
-                )
+                counts_arr = (counts_dev if counts_dev is not None
+                              else jnp.asarray(library.counts))
+                if config.projection_dtype == "signs":
+                    # 2-bit-packed ternary signs + per-row f32 magnitude:
+                    # 8x smaller than the bf16 dense table (the 2.66M-k-mer
+                    # human rung's 5.4 GB table OOM'd next to the staged
+                    # stacks) and reconstructs the f32 entries EXACTLY
+                    # (srp.build_precompute_signs)
+                    proj = build_precompute_signs(
+                        counts_arr, config.embedding_dimension,
+                        config.projection_seed, config.projection_density,
+                    )
+                else:
+                    p_dtype = (jnp.float32
+                               if config.projection_dtype == "f32"
+                               else jnp.bfloat16)
+                    proj = (build_precompute_paired(
+                        counts_arr, config.embedding_dimension,
+                        config.projection_seed, config.projection_density,
+                        dtype=p_dtype,
+                    ), jnp.zeros((1,), jnp.float32))
 
         # out-of-core decision BEFORE embed: past the budget the (2R+1, d)
         # device buffer must never exist, so the embed stage itself routes
@@ -739,7 +749,7 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
                 emb = np.asarray(emb)
             if emb is None:
                 emb, _ = compute_embeddings(
-                    packed, library, config, p_pair, get_staged(), metrics,
+                    packed, library, config, proj, get_staged(), metrics,
                     out="host" if ooc else "device",
                 )
                 if ckpt_dir:
@@ -755,7 +765,7 @@ def run_pipeline(config: PipelineConfig) -> PipelineResult:
         # before the k-NN allocates its normalized copy (at the chr1 rung
         # the paired table is 4.6 GB bf16 and HBM headroom decides whether
         # the rung fits at all)
-        del p_pair
+        del proj
 
         with metrics.stage("knn"):
             n_dev = len(jax.devices())

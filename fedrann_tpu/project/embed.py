@@ -217,3 +217,61 @@ def embed_hits(hits: jax.Array, p_ext: jax.Array, hit_chunk: int = 128) -> jax.A
     init = jnp.zeros((r, d), dtype=jnp.float32)
     acc, _ = jax.lax.scan(body, init, blocks)
     return acc
+
+
+@functools.partial(jax.jit, static_argnames=("lib_size", "hit_chunk", "d"))
+def embed_hits_paired_signs(
+    hits: jax.Array, signs: jax.Array, mags: jax.Array, lib_size: int,
+    d: int, hit_chunk: int = 128,
+) -> tuple[jax.Array, jax.Array]:
+    """embed_hits_paired over the 2-bit-packed ternary projection
+    (srp.build_precompute_signs): per staged slot, gather a (2d/16)-wide
+    uint32 sign row + one f32 magnitude instead of a 2d-wide bf16 row —
+    8x less table HBM (the human rung's dense table OOM'd the chip) and
+    entries reconstructed exactly in f32 (vs the dense path's bf16
+    rounding). Same index/mirror semantics and the same sum/difference
+    swap trick as embed_hits_paired."""
+    r, h = hits.shape
+    sentinel = 2 * lib_size
+    pad = (-h) % hit_chunk
+    if pad:
+        hits = jnp.concatenate(
+            [hits, jnp.full((r, pad), sentinel, dtype=hits.dtype)], axis=1
+        )
+    n_chunks = hits.shape[1] // hit_chunk
+    blocks = hits.reshape(r, n_chunks, hit_chunk).transpose(1, 0, 2)
+    j_blocks = jnp.where(blocks >= lib_size, blocks - lib_size, blocks)
+    swap_blocks = blocks >= lib_size
+    w = signs.shape[1]  # ceil(2d/16)
+
+    def body(carry, args):
+        u_acc, v_acc = carry
+        jb, sb = args
+        gp = jnp.take(signs, jb, axis=0)          # (r, hc, w) u32
+        mag = jnp.take(mags, jb, axis=0)          # (r, hc) f32
+        # unpack 16 2-bit fields per word -> (r, hc, 2d) f32 in {-1,0,1};
+        # XLA fuses the unpack into the reductions (no full temp)
+        fields = (gp[..., None] >> (2 * jnp.arange(16, dtype=jnp.uint32))) \
+            & jnp.uint32(3)
+        vals = ((fields == 1).astype(jnp.float32)
+                - (fields == 2).astype(jnp.float32))
+        vals = vals.reshape(*gp.shape[:-1], w * 16)[..., : 2 * d]
+        vals = vals * mag[..., None]
+        gl, gr = vals[..., :d], vals[..., d:]
+        sign = jnp.where(sb[..., None], -1.0, 1.0).astype(jnp.float32)
+        u_acc = u_acc + jnp.sum(gl + gr, axis=1, dtype=jnp.float32)
+        v_acc = v_acc + jnp.sum((gl - gr) * sign, axis=1, dtype=jnp.float32)
+        return (u_acc, v_acc), None
+
+    zeros = jnp.zeros((r, d), jnp.float32)
+    (u, v), _ = jax.lax.scan(body, (zeros, zeros), (j_blocks, swap_blocks))
+    return (u + v) * 0.5, (u - v) * 0.5
+
+
+def embed_hits_paired_auto(hits, p_a, p_b, lib_size: int, d: int):
+    """Dispatch on the projection representation (static under jit):
+    uint32 p_a = 2-bit-packed ternary signs + per-row mags (p_b), else
+    p_a is the dense paired table (p_b unused)."""
+    if p_a.dtype == jnp.uint32:
+        return embed_hits_paired_signs(hits, p_a, p_b, lib_size, d)
+    return embed_hits_paired(hits, p_a, lib_size)

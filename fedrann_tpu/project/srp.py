@@ -146,3 +146,84 @@ def pair_projection(p_ext, xp=jnp):
         ],
         axis=0,
     )
+
+
+def build_precompute_signs(
+    counts: jax.Array,
+    n_components: int,
+    seed: int,
+    density: float | None = None,
+    chunk: int = 1 << 16,
+):
+    """2-bit-packed PAIRED projection: (signs (L+1, 2d/16) uint32,
+    mags (L+1,) float32).
+
+    The SRP-x-ICF table factorizes exactly: every nonzero in paired row j
+    is +-(scale * icf[j]) — a per-row SCALAR times a ternary sign. Packing
+    the signs 16-per-uint32 (2-bit codes: 0 = zero, 1 = +1, 2 = -1)
+    shrinks the embed gather table 8x vs bf16 (chr1: 4.6 GB -> 0.58 GB;
+    the 2.66M-k-mer human rung's 5.4 GB table OOM'd a 16 GB chip next to
+    the staged stacks) and REMOVES the bf16 rounding the dense table paid:
+    the reconstructed entries are bitwise the f32 construction
+    (sign * scale * icf, same splitmix64 stream as _srp_chunk).
+
+    Same (f, c) -> (nonzero, sign) stream as build_precompute_paired; row
+    j packs [P[j] | P[j+L]] column-major in 2-bit fields, sentinel row L
+    is all-zero with mag 0."""
+    icf = icf_weights_device(counts)
+    n_features = icf.shape[0]
+    lib_size = int(counts.shape[0])
+    if density is None:
+        density = 1.0 / float(n_features) ** 0.5 if n_features else 1.0
+    seed_mix = splitmix64(jnp.uint64(seed))
+    scale = jnp.float32((1.0 / density) ** 0.5 / n_components**0.5)
+    parts = []
+    for start in range(0, lib_size, chunk):
+        size = min(chunk, lib_size - start)
+        left = _srp_sign_chunk(seed_mix, n_components, density, start, size)
+        right = _srp_sign_chunk(seed_mix, n_components, density,
+                                lib_size + start, size)
+        parts.append(_pack_signs(jnp.concatenate([left, right], axis=1)))
+    zero_row = jnp.zeros((1, (2 * n_components + 15) // 16), jnp.uint32)
+    if parts:
+        signs = jnp.concatenate(parts + [zero_row], axis=0)
+    else:
+        signs = zero_row
+    mags = jnp.concatenate(
+        [icf[:lib_size].astype(jnp.float32) * scale,
+         jnp.zeros((1,), jnp.float32)]
+    )
+    return signs, mags
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_components", "density", "chunk_size")
+)
+def _srp_sign_chunk(seed_mix, n_components, density, chunk_start,
+                    chunk_size):
+    """(chunk, d) int32 sign codes {0: zero, 1: +1, 2: -1} from the same
+    counter stream as _srp_chunk (bitwise-identical nonzero/sign bits)."""
+    f = (
+        (jnp.arange(chunk_size, dtype=jnp.uint64)
+         + jnp.asarray(chunk_start, dtype=jnp.uint64))[:, None]
+        * _GOLDEN
+    )
+    c = jnp.arange(n_components, dtype=jnp.uint64)[None, :]
+    h = splitmix64(f + c + seed_mix)
+    nonzero = (h >> jnp.uint64(1)) < jnp.uint64(int(density * 2.0**63))
+    pos = (h & jnp.uint64(1)) == 1
+    return jnp.where(nonzero, jnp.where(pos, 1, 2), 0).astype(jnp.int32)
+
+
+@jax.jit
+def _pack_signs(codes: jax.Array) -> jax.Array:
+    """(rows, w) 2-bit codes -> (rows, ceil(w/16)) uint32, field i at bits
+    2*(i%16) of word i//16."""
+    r, w = codes.shape
+    pad = (-w) % 16
+    if pad:
+        codes = jnp.concatenate(
+            [codes, jnp.zeros((r, pad), codes.dtype)], axis=1)
+    grouped = codes.reshape(r, -1, 16).astype(jnp.uint32)
+    shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(grouped << shifts, axis=2, dtype=jnp.uint32)

@@ -579,3 +579,40 @@ def test_stage_packed_mode_matches_len_mode(k):
     for a, b in zip(ref[0], got[0]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+
+
+def test_sign_packed_projection_matches_dense():
+    """build_precompute_signs reconstructs the f32 dense paired table
+    BITWISE, and embed_hits_paired_signs matches embed_hits_paired to fp
+    tolerance (the default --projection-dtype signs path: 8x smaller
+    table, exact f32 entries)."""
+    from fedrann_tpu.project.embed import (
+        embed_hits_paired,
+        embed_hits_paired_signs,
+    )
+    from fedrann_tpu.project.srp import (
+        build_precompute_paired,
+        build_precompute_signs,
+    )
+
+    rng = np.random.default_rng(0)
+    lib, d = 3000, 96
+    counts = jnp.asarray(rng.integers(2, 50, lib).astype(np.int32))
+    p_pair = build_precompute_paired(counts, d, 2094, None,
+                                     dtype=jnp.float32)
+    signs, mags = build_precompute_signs(counts, d, 2094, None)
+    w = signs.shape[1]
+    gp = np.asarray(signs)
+    fields = (gp[..., None] >> (2 * np.arange(16, dtype=np.uint32))) & 3
+    vals = ((fields == 1).astype(np.float32)
+            - (fields == 2).astype(np.float32))
+    vals = vals.reshape(lib + 1, w * 16)[:, : 2 * d] \
+        * np.asarray(mags)[:, None]
+    np.testing.assert_array_equal(vals, np.asarray(p_pair))
+
+    hits = rng.integers(0, 2 * lib, (32, 70)).astype(np.int32)
+    hits[rng.random((32, 70)) < 0.2] = 2 * lib
+    f1, r1 = embed_hits_paired(jnp.asarray(hits), p_pair, lib)
+    f2, r2 = embed_hits_paired_signs(jnp.asarray(hits), signs, mags, lib, d)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
