@@ -25,7 +25,6 @@ residency changes. docs/SCALING.md derives the memory model at 2e7 rows.
 from __future__ import annotations
 
 import functools
-import logging
 
 import jax
 import jax.numpy as jnp
@@ -33,8 +32,7 @@ import ml_dtypes
 import numpy as np
 
 from fedrann_tpu.knn.topk import _topk_scores, transfer_dist, transfer_idx
-
-logger = logging.getLogger("fedrann")
+from fedrann_tpu.logging_utils import logger
 
 # Default candidate-block rows per upload. 256k rows x 512 dims x 2 B =
 # 256 MB per block: big enough that per-launch tunnel latency amortizes,
@@ -298,32 +296,40 @@ def knn_ivf_ooc(
             e / np.where(norms == 0, 1.0, norms)).astype(wire_dtype)
     del emb
 
-    # ---- streaming spherical k-means (block-resident, centroids tiny) --
+    # ---- spherical k-means on a device-resident strided SAMPLE ----------
+    # Training on full streaming passes paid kmeans_iters x N x d x 2 B of
+    # H2D (3 x 1.47 GB ~ 75 s at the measured 59 MB/s — it ate the whole
+    # block-skipping win at the human rung). Centroid quality needs only a
+    # large sample: strided rows are genome-position-random (read order),
+    # one upload, then every iteration is device-local.
     itemsize = np.dtype(wire_dtype).itemsize
     c_rows = block_rows
     while c_rows > query_tile and 2 * c_rows * d * itemsize > hbm_budget // 2:
         c_rows //= 2
     n_blocks_km = -(-n // c_rows)
-    init_rows = (np.arange(c_n, dtype=np.int64) * (n // c_n))
-    cent = jnp.asarray(np.ascontiguousarray(host[init_rows], np.float32))
+    n_sample = min(n, max(8 * c_n, 1 << 18))
+    stride = max(1, n // n_sample)
+    sample_rows = np.arange(0, n, stride, dtype=np.int64)[:n_sample]
+    sample = jnp.asarray(np.ascontiguousarray(host[sample_rows]))
+    init_rows = (np.arange(c_n, dtype=np.int64)
+                 * (len(sample_rows) // c_n))
+    cent = sample[jnp.asarray(init_rows)].astype(jnp.float32)
 
     def blk(i):
         lo = i * c_rows
         return jnp.asarray(host[lo : min(lo + c_rows, n)])
 
     for _ in range(kmeans_iters):
-        sums = jnp.zeros((c_n, d), jnp.float32)
-        for b in range(n_blocks_km):
-            block = blk(b)
-            scores = _assign_block(
-                block,
-                cent.astype(jnp.bfloat16) if precision == "bf16" else cent)
-            a = jnp.argmax(scores, axis=1).astype(jnp.int32)
-            sums = sums + jax.ops.segment_sum(
-                block.astype(jnp.float32), a, num_segments=c_n)
+        scores = _assign_block(
+            sample,
+            cent.astype(jnp.bfloat16) if precision == "bf16" else cent)
+        a = jnp.argmax(scores, axis=1).astype(jnp.int32)
+        sums = jax.ops.segment_sum(
+            sample.astype(jnp.float32), a, num_segments=c_n)
         norm = jnp.linalg.norm(sums, axis=1, keepdims=True)
         cent = jnp.where(norm > 0, sums / jnp.where(norm == 0, 1.0, norm),
                          cent)
+    del sample
 
     # ---- final pass: spill assignments + per-query probes ---------------
     assign = np.empty((n, spill), np.int32)
