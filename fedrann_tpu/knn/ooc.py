@@ -353,6 +353,19 @@ def knn_ivf_ooc(
     host_r = host[order]                        # (n, d) reordered copy
     del host
 
+    # IVF-aware granularity (measured at the human rung: budget-maximal
+    # half-dataset slabs probed EVERY block — 12/12 uploads, 1.00x — the
+    # exact-ooc sizing is exactly wrong here). Probe locality lives at the
+    # cluster scale (~n/C rows), so blocks shrink to ~32k rows and slabs
+    # to ~8 blocks of queries: each slab's probe union then spans its own
+    # cluster range plus slack instead of the whole matrix, and total
+    # H2D approaches ONE logical sweep regardless of the budget.
+    q_rows, _ = plan_ooc(n, d, k, hbm_budget, query_tile, c_rows, itemsize)
+    c_rows = min(c_rows, 1 << 15)
+    q_rows = min(q_rows, max(8 * c_rows, 1 << 18))
+    qt = min(query_tile, max(8, n))
+    ct = min(candidate_tile, c_rows)
+
     # blocks over the REORDERED rows; cluster -> blocks containing any of
     # its (spill) members: a slab then needs exactly the union over its
     # queries' probe sets
@@ -367,10 +380,6 @@ def knn_ivf_ooc(
         uniq = np.unique(np_pairs, axis=0)
         for cl, bk in uniq:
             cluster_blocks[cl].add(int(bk))
-
-    q_rows, _ = plan_ooc(n, d, k, hbm_budget, query_tile, c_rows, itemsize)
-    qt = min(query_tile, max(8, n))
-    ct = min(candidate_tile, c_rows)
 
     idx_out = np.empty((n, k), np.int32)
     dist_out = np.empty((n, k), np.float32)
