@@ -223,21 +223,30 @@ def _assign_block(block, cent):
 
 
 def _centroid_order(cent) -> np.ndarray:
-    """1-D ordering of centroids along their top principal direction.
-    Read embeddings live on the genome's 1-D overlap manifold, so nearby
-    clusters project to nearby coordinates; ordering blocks by this
-    coordinate makes each query's p probed clusters land in O(1)
-    consecutive row blocks — that locality is what turns per-slab block
-    skipping into a real ~p/C traffic/FLOP reduction."""
+    """1-D ordering of centroids by a greedy nearest-neighbor chain.
+    Read embeddings live on the genome's 1-D overlap manifold, but that
+    curve FOLDS arbitrarily in 512-d: a linear (PCA) projection collapses
+    distant arcs onto the same coordinate (measured at the human rung:
+    every query slab probed every block — 264/264 uploads). The greedy
+    chain follows the curve itself: start anywhere, repeatedly hop to the
+    nearest unvisited centroid (host-side, C^2 dots — trivial at C<=64k).
+    Nearby clusters then land in nearby row blocks, which is what turns
+    per-slab block skipping into a real traffic/FLOP reduction."""
     c = np.asarray(cent, np.float32)
-    c = c - c.mean(axis=0, keepdims=True)
-    v = np.ones((c.shape[1],), np.float32)
-    for _ in range(8):  # power iteration on the (d, d) covariance
-        v = c.T @ (c @ v)
-        n = np.linalg.norm(v)
-        v = v / (n if n > 0 else 1.0)
-    proj = c @ v
-    return np.argsort(proj, kind="stable").astype(np.int32)
+    n = c.shape[0]
+    sims = c @ c.T  # cosine similarities (centroids are unit-norm)
+    np.fill_diagonal(sims, -np.inf)
+    order = np.empty(n, np.int32)
+    visited = np.zeros(n, bool)
+    cur = 0
+    for i in range(n):
+        order[i] = cur
+        visited[cur] = True
+        row = sims[cur].copy()
+        row[visited] = -np.inf
+        if i + 1 < n:
+            cur = int(np.argmax(row))
+    return order
 
 
 def knn_ivf_ooc(
@@ -395,6 +404,8 @@ def knn_ivf_ooc(
         return b_arr
 
     total_blocks_uploaded = 0
+    total_votes = 0
+    dropped_votes = 0
     pending = None
     probes_r = probes[order]                    # probe lists in slab order
     for s in range(0, n, q_rows):
@@ -407,9 +418,27 @@ def knn_ivf_ooc(
         nt = q_dev.shape[0]
         carry_s = jnp.full((nt, qt, k), -jnp.inf, jnp.float32)
         carry_i = jnp.full((nt, qt, k), -1, jnp.int32)
-        need = sorted(set().union(
-            *(cluster_blocks[cl]
-              for cl in np.unique(probes_r[s : s + rows]))))
+        # vote-thresholded block selection: without it ONE outlier query
+        # per block forces the upload and coverage saturates (measured
+        # 264/264 blocks at the human rung even after the chain
+        # reordering). A slab always scores its OWN row range (self rows
+        # + home clusters); other blocks must earn >=0.1% of the slab's
+        # probe votes. Probes whose blocks are dropped lose those
+        # candidates — counted and logged, and recall-vs-exact carries
+        # the ground truth (bench ab rows).
+        votes = np.zeros(n_blocks, np.int64)
+        cls, cnts = np.unique(probes_r[s : s + rows], return_counts=True)
+        for cl, cnt in zip(cls, cnts):
+            for b in cluster_blocks[int(cl)]:
+                votes[b] += int(cnt)
+        own = set(range(s // c_rows, (s + rows - 1) // c_rows + 1))
+        thresh = max(1, int(0.001 * rows))
+        keep = set(np.flatnonzero(votes >= thresh).tolist()) | own
+        need = sorted(keep)
+        total_votes += int(votes.sum())
+        dropped_votes += int(
+            sum(int(votes[b]) for b in np.flatnonzero(votes > 0)
+                if b not in keep))
         total_blocks_uploaded += len(need)
         nxt = jax.device_put(block_host(need[0]))
         for bi, b in enumerate(need):
@@ -430,9 +459,11 @@ def knn_ivf_ooc(
     n_slabs = -(-n // q_rows)
     logger.info(
         "knn_ivf_ooc: C=%d p=%d spill=%d -> %d/%d candidate-block uploads "
-        "(%.2fx fewer than exact ooc)",
+        "(%.2fx fewer than exact ooc; %.3f%% of probe votes dropped by "
+        "the block threshold)",
         c_n, p, spill, total_blocks_uploaded, n_slabs * n_blocks,
         n_slabs * n_blocks / max(total_blocks_uploaded, 1),
+        100.0 * dropped_votes / max(total_votes, 1),
     )
     # un-reorder the query rows back to original numbering
     idx_final = np.empty_like(idx_out)
