@@ -17,6 +17,7 @@ neighbor_graph; the output-time self filter stays in the TSV writer
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -58,12 +59,63 @@ def _idx_u16(idx: jax.Array) -> jax.Array:
     return jnp.clip(idx, 0, 65535).astype(jnp.uint16)
 
 
+@functools.partial(jax.jit, static_argnames=("bits", "per", "words"))
+def _pack_idx_dev(idx: jax.Array, bits: int, per: int, words: int):
+    """(R, k_pad) non-negative ids -> (R, k_pad//per*words) uint32 with
+    `bits`-bit fields, LSB-first across each per-id group."""
+    r, kp = idx.shape
+    g = idx.astype(jnp.uint32).reshape(r, kp // per, per)
+    out = [jnp.zeros((r, kp // per), jnp.uint32) for _ in range(words)]
+    for j in range(per):
+        start = j * bits
+        w, s = start // 32, start % 32
+        out[w] = out[w] | (g[..., j] << jnp.uint32(s))
+        if s + bits > 32:
+            out[w + 1] = out[w + 1] | (g[..., j] >> jnp.uint32(32 - s))
+    return jnp.stack(out, axis=-1).reshape(r, -1)
+
+
+def _unpack_idx_np(packed: np.ndarray, k: int, bits: int, per: int,
+                   words: int, sentinel: int) -> np.ndarray:
+    r = packed.shape[0]
+    grp = packed.reshape(r, -1, words).astype(np.uint64)
+    ids = np.empty((r, grp.shape[1], per), np.uint32)
+    mask = np.uint64((1 << bits) - 1)
+    for j in range(per):
+        start = j * bits
+        w, s = start // 32, start % 32
+        v = grp[..., w] >> np.uint64(s)
+        if s + bits > 32:
+            v |= grp[..., w + 1] << np.uint64(32 - s)
+        ids[..., j] = (v & mask).astype(np.uint32)
+    flat = ids.reshape(r, -1)[:, :k].astype(np.int32)
+    return np.where(flat == sentinel, -1, flat)
+
+
 def transfer_idx(idx_dev: jax.Array, transfer: str, n_rows: int) -> np.ndarray:
-    """Device->host copy of a neighbor-index matrix; rides uint16 when
-    every valid index fits (n_rows <= 65536 — true for the small/medium
-    rungs where the index payload is half the copy)."""
+    """Device->host copy of a neighbor-index matrix. transfer='u16' rides
+    the smallest exact wire: uint16 when every valid index fits
+    (n_rows <= 65536), else 20- or 24-bit packed fields (37.5% / 25%
+    less payload than i32 — the copy runs at ~10 MB/s on tunneled hosts
+    and is the dominant term of the k-NN stage at the chr1/human rungs;
+    docs/TPU_PLATFORM_NOTES.md round 5). The unset marker -1 maps to the
+    in-band sentinel n_rows and back, so the result is bit-identical to
+    the plain i32 copy."""
     if transfer == "u16" and n_rows <= 65536:
         return np.asarray(_idx_u16(idx_dev)).astype(np.int32)
+    if transfer == "u16" and n_rows + 1 < (1 << 24):
+        bits = 20 if n_rows + 1 <= (1 << 20) else 24
+        per = 32 // math.gcd(bits, 32)
+        words = bits * per // 32
+        k = idx_dev.shape[1]
+        pad = (-k) % per
+        idx_s = jnp.where(idx_dev < 0, jnp.int32(n_rows), idx_dev)
+        if pad:
+            idx_s = jnp.concatenate(
+                [idx_s, jnp.full((idx_s.shape[0], pad), n_rows,
+                                 idx_s.dtype)], axis=1)
+        packed = np.asarray(_pack_idx_dev(idx_s, bits, per, words))
+        return _unpack_idx_np(packed, k, bits, per, words, n_rows)
     return np.asarray(idx_dev)
 
 

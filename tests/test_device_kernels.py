@@ -616,3 +616,16 @@ def test_sign_packed_projection_matches_dense():
     f2, r2 = embed_hits_paired_signs(jnp.asarray(hits), signs, mags, lib, d)
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+
+
+@pytest.mark.parametrize("n_rows", [200_000, 1_440_000])
+def test_packed_idx_wire_roundtrip(n_rows):
+    """The 20/24-bit packed neighbor-index wire (transfer='u16' past the
+    uint16 range) is bit-identical to the plain i32 copy, including the
+    -1 unset marker (in-band sentinel n_rows)."""
+    from fedrann_tpu.knn.topk import transfer_idx
+
+    rng = np.random.default_rng(1)
+    idx = rng.integers(-1, n_rows, (257, 50)).astype(np.int32)
+    out = transfer_idx(jnp.asarray(idx), "u16", n_rows)
+    np.testing.assert_array_equal(out, idx)
