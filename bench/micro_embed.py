@@ -90,3 +90,25 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# Round-5 record (VERDICT r4 item 7): one-hot-matmul embed vs row gather.
+#
+# The one-hot formulation E = A @ P (A = scatter of ones over the feature
+# axis, tiled) pays 2*R*F*2d FLOPs per chunk regardless of sparsity:
+#   driver (F=620k):  2*2048*620k*1024 ~ 2.6e12 FLOP/chunk ~ 13 ms at peak
+#                     -> competitive with the measured ~54 ms gather.
+#   chr1  (F=4.5M):   2*2048*4.5M*1024 ~ 1.9e13 FLOP/chunk ~ 96 ms at peak
+#                     -> WORSE than the gather it replaces, before adding
+#                     the scatter to build A and the P re-read per chunk.
+# It loses exactly where the embed cost matters (large libraries), so the
+# shipped round-5 answer attacks the GATHERED BYTES instead: the projection
+# factorizes into per-row magnitude x ternary signs, stored 2-bit-packed
+# (srp.build_precompute_signs) — 8x smaller rows (260 B vs 2 KB) at
+# bitwise-f32 accuracy. Gathers stay per-row-bound (the ladder above), so
+# the row-rate is unchanged, but the table fits where the dense one OOM'd
+# (human rung: 0.68 GB vs 5.4 GB) and HBM pressure during embed drops 8x.
+# An in-chip one-hot micro at the driver shape hit the round-5 compile-
+# server stalls (>15 min for the tile loop) and was abandoned; the
+# arithmetic above bounds it either way.
