@@ -209,7 +209,12 @@ def build_library_on_device(
     else:
         cap = 1 << (int(cap) - 1).bit_length()
     lib_words, counts, n_keep = _compact(sorted_words, keep, count, cap)
-    n = int(n_keep)
+    if n is None:
+        # caller-capped path only: the derived-cap path above already paid
+        # the scalar D2H for n (== n_keep by construction: compact_flat
+        # counts the same keep mask), and each scalar fetch is a full
+        # ~30 ms tunnel round-trip (TPU_PLATFORM_NOTES round 5)
+        n = int(n_keep)
     if n > cap:
         logger.warning(
             "library capacity %d overflowed (%d kept) — rebuilding uncapped",
